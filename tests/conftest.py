@@ -2,16 +2,21 @@
 
 Tests run on CPU with 8 virtual devices so multi-chip sharding logic is
 exercised without TPU hardware (the TF reference had no equivalent; see
-SURVEY.md §4). Must be set before jax is imported anywhere.
+SURVEY.md §4). The environment may pre-register a TPU PJRT plugin that takes
+default priority regardless of JAX_PLATFORMS, so we force the platform via
+jax.config, which wins over plugin registration.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

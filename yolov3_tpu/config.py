@@ -56,6 +56,11 @@ class ModelConfig:
     # Keras BatchNormalization defaults (reference/model.py:38)
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
+    # Network-size constants (reference/model.py:22-24), lifted into config
+    # so tests and small deployments can shrink the network.
+    block_count: int = BLOCK_COUNT
+    filter_count: int = FILTER_COUNT
+    kernel_size: int = KERNEL_SIZE
 
     def __post_init__(self):
         h, w, _ = self.img_size
