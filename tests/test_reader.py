@@ -1,0 +1,130 @@
+"""DatasetReader tests: class census, sampling, worker pool lifecycle."""
+
+import numpy as np
+import pytest
+
+from yolov3_tpu.data import records
+from yolov3_tpu.data.reader import DatasetReader
+from yolov3_tpu.data.store import RecordWriter
+
+ANCHORS = [(16, 16), (32, 32)]
+
+
+def build_toy_db(path, rng, n=12, img_hw=(64, 64), channels=1,
+                 classes_per_img=None):
+    """Write a small database; returns per-image class lists."""
+    assignments = []
+    with RecordWriter(str(path)) as w:
+        for i in range(n):
+            img = rng.randint(0, 255, (*img_hw, channels)).astype(np.uint8)
+            if classes_per_img is None:
+                cls = [i % 2]
+            else:
+                cls = classes_per_img[i]
+            boxes = np.array([[4, 4, 20, 20, c] for c in cls], dtype=np.int32)
+            key = records.make_record_key(i, f"img{i}", boxes)
+            w.put(key.encode(), records.encode_record(img, boxes))
+            assignments.append(cls)
+    return assignments
+
+
+class TestClassCensus:
+    def test_number_classes_no_empty(self, tmp_path, rng):
+        build_toy_db(tmp_path / "db", rng,
+                     classes_per_img=[[0], [1], [2], [0, 2]] * 3)
+        r = DatasetReader(str(tmp_path / "db"), ANCHORS, num_workers=1)
+        assert r.get_number_classes() == 3
+        assert len(r.keys) == 3
+        assert r.get_image_count() == 12
+        assert r.get_image_size() == [64, 64, 1]
+
+    def test_empty_image_pseudo_class(self, tmp_path, rng):
+        # images with no boxes get bucket 0; real classes shift by one;
+        # number_classes excludes the pseudo-class
+        # (reference/imagereader.py:110-156)
+        build_toy_db(tmp_path / "db", rng,
+                     classes_per_img=[[], [0], [1], [0, 1]] * 3)
+        r = DatasetReader(str(tmp_path / "db"), ANCHORS, num_workers=1)
+        assert r.empty_images_flag
+        assert r.get_number_classes() == 2
+        assert len(r.keys) == 3  # empty bucket + 2 classes
+        assert len(r.keys[0]) == 3   # empty images
+        assert len(r.keys[1]) == 6   # class 0
+        assert len(r.keys[2]) == 6   # class 1
+
+    def test_sparse_class_ids(self, tmp_path, rng):
+        # highest class 3 with ids {0, 3} present -> 4 buckets, two empty
+        build_toy_db(tmp_path / "db", rng, classes_per_img=[[0], [3]] * 6)
+        r = DatasetReader(str(tmp_path / "db"), ANCHORS, num_workers=1)
+        assert r.get_number_classes() == 4
+        assert r.class_counts() == [6, 0, 0, 6]
+
+    def test_missing_db(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            DatasetReader(str(tmp_path / "nope"), ANCHORS)
+
+
+class TestSampling:
+    def test_balanced_sampling_redraws_empty_buckets(self, tmp_path, rng):
+        import random
+        build_toy_db(tmp_path / "db", rng, classes_per_img=[[0], [3]] * 6)
+        r = DatasetReader(str(tmp_path / "db"), ANCHORS, shuffle=True,
+                          balance_classes=True, num_workers=1)
+        picks = [r._next_key(random.Random(s)) for s in range(50)]
+        assert all(p in r.keys[0] or p in r.keys[3] for p in picks)
+
+    def test_strided_iteration(self, tmp_path, rng):
+        build_toy_db(tmp_path / "db", rng, n=8)
+        r = DatasetReader(str(tmp_path / "db"), ANCHORS, shuffle=False,
+                          num_workers=2)
+        r._key_idx = 0  # emulate worker 0
+        seq = [r._next_key(None) for _ in range(4)]
+        assert seq == [r.keys_flat[0], r.keys_flat[2], r.keys_flat[4],
+                       r.keys_flat[6]]
+
+
+class TestPipeline:
+    def test_examples_end_to_end(self, tmp_path, rng):
+        build_toy_db(tmp_path / "db", rng, n=6)
+        r = DatasetReader(str(tmp_path / "db"), ANCHORS,
+                          use_augmentation=True, shuffle=True,
+                          balance_classes=True, num_workers=2)
+        with r:
+            ex = r.get_example()
+            assert ex is not None
+            img, l32, l16, l8 = ex
+            assert img.shape == (64, 64, 1)
+            assert img.dtype == np.float32
+            # z-scored
+            assert abs(float(img.mean())) < 0.2
+            a, c = len(ANCHORS), r.get_number_classes()
+            assert l32.shape == (2, 2, a, 5 + c)
+            assert l16.shape == (4, 4, a, 5 + c)
+            assert l8.shape == (8, 8, a, 5 + c)
+
+    def test_batches(self, tmp_path, rng):
+        build_toy_db(tmp_path / "db", rng, n=6)
+        r = DatasetReader(str(tmp_path / "db"), ANCHORS,
+                          use_augmentation=False, shuffle=True, num_workers=2)
+        with r:
+            batch = next(r.batches(4))
+            assert batch[0].shape == (4, 64, 64, 1)
+            assert batch[1].shape[0] == 4
+
+    def test_shutdown_idempotent(self, tmp_path, rng):
+        build_toy_db(tmp_path / "db", rng, n=4)
+        r = DatasetReader(str(tmp_path / "db"), ANCHORS, num_workers=2)
+        r.startup()
+        r.shutdown()
+        r.shutdown()  # no-op
+
+    def test_no_augmentation_deterministic_content(self, tmp_path, rng):
+        build_toy_db(tmp_path / "db", rng, n=2)
+        r = DatasetReader(str(tmp_path / "db"), ANCHORS,
+                          use_augmentation=False, shuffle=False, num_workers=1)
+        with r:
+            imgs = [r.get_example()[0] for _ in range(4)]
+        # strided non-shuffle iteration with 1 worker wraps over 2 images
+        np.testing.assert_array_equal(imgs[0], imgs[2])
+        np.testing.assert_array_equal(imgs[1], imgs[3])
+        assert not np.array_equal(imgs[0], imgs[1])
