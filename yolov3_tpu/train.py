@@ -1,0 +1,289 @@
+"""Training CLI: multi-chip data-parallel YOLOv3 training.
+
+The TPU-native equivalent of reference/train.py:28-267. Loop semantics are
+preserved exactly:
+
+- global batch = per-chip batch x chip count (reference/train.py:41); data
+  readers scale 3x per chip (reference/train.py:16,43)
+- test reader without augmentation/shuffle, train reader with augmentation,
+  shuffle, and class balancing (reference/train.py:46-50)
+- an "epoch" is `test_every_n_steps` train steps (reference/train.py:75);
+  epoch 0 is an Adam warmup of min(1000, epoch_size) steps at lr/10
+  (reference/train.py:107-113)
+- the reference's step loop runs `epoch_size + 1` steps (its break fires at
+  step > epoch_size, reference/train.py:117-119) — bug-compatible here
+- NaN losses abort training (reference/train.py:124-125,150-151)
+- per-step train scalars + per-epoch test scalars to TensorBoard
+  (reference/train.py:128-133,158-163), `test_loss.csv` rewritten per epoch
+  (reference/train.py:170-173)
+- checkpoint ONLY on a new best test loss, single overwritten path
+  (reference/train.py:178-182); early stopping against the first epoch
+  within 1e-4 of the best (reference/train.py:185-197)
+- after training: restore the best checkpoint and export the inference
+  artifact (reference/train.py:208-221)
+
+TPU-native differences: the train step is one jitted shard_map program over
+a `jax.sharding.Mesh` (gradients psum over ICI), the host pipeline feeds
+sharded NHWC batches, checkpoints are Orbax, and `--profile_dir` captures a
+jax.profiler trace (the reference has no profiling hooks; SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import time
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolov3_tpu.config import (
+    TRAIN_DEFAULT_ANCHORS,
+    AugmentConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from yolov3_tpu.data.reader import DatasetReader
+from yolov3_tpu.models.yolo import YoloV3
+from yolov3_tpu.parallel import (
+    create_train_state,
+    make_eval_step,
+    make_mesh,
+    make_train_step,
+    replicate_to_mesh,
+    shard_batch,
+)
+from yolov3_tpu.utils import checkpoint as ckpt
+from yolov3_tpu.utils.metrics import MetricSet, SummaryLogger, write_loss_csv
+
+
+def train_model(batch_size: int, test_every_n_steps: int,
+                train_database_filepath: str, test_database_filepath: str,
+                output_folder: str, early_stopping_count: int,
+                learning_rate: float, use_augmentation: bool,
+                anchors: Sequence[Tuple[float, float]] = TRAIN_DEFAULT_ANCHORS,
+                num_devices: Optional[int] = None,
+                seed: int = 0,
+                max_epochs: Optional[int] = None,
+                compute_dtype: str = "bfloat16",
+                profile_dir: Optional[str] = None,
+                tcfg: Optional[TrainConfig] = None,
+                augment_config: Optional[AugmentConfig] = None,
+                model_overrides: Optional[dict] = None) -> Optional[str]:
+    """Run the full training loop; returns the export path (or None)."""
+    os.makedirs(output_folder, exist_ok=True)
+
+    mesh = make_mesh(n_devices=num_devices)
+    n_chips = mesh.devices.size
+    global_batch_size = batch_size * n_chips
+    reader_count = (tcfg.reader_count_per_device if tcfg
+                    else TrainConfig().reader_count_per_device) * n_chips
+    tcfg = tcfg or TrainConfig(batch_size=batch_size,
+                               learning_rate=learning_rate,
+                               test_every_n_steps=test_every_n_steps,
+                               early_stopping_count=early_stopping_count,
+                               use_augmentation=bool(use_augmentation))
+
+    print(f"Devices: {n_chips} ({mesh.devices.flat[0].platform}), "
+          f"global batch {global_batch_size}, readers {reader_count}")
+
+    print("Setting up test image reader")
+    test_reader = DatasetReader(test_database_filepath, anchors,
+                                use_augmentation=False, shuffle=False,
+                                num_workers=reader_count)
+    print(f"Test Reader has {test_reader.get_image_count()} images")
+
+    print("Setting up training image reader")
+    train_reader = DatasetReader(train_database_filepath, anchors,
+                                 use_augmentation=bool(use_augmentation),
+                                 shuffle=True, balance_classes=True,
+                                 num_workers=reader_count,
+                                 augment_config=augment_config)
+    print(f"Train Reader has {train_reader.get_image_count()} images")
+
+    export_path = None
+    best_checkpoint_saved = False
+    try:
+        print("Starting Readers")
+        train_reader.startup()
+        test_reader.startup()
+
+        number_classes = train_reader.get_number_classes()
+        img_size = train_reader.get_image_size()
+        cfg = ModelConfig(img_size=tuple(img_size),
+                          number_classes=number_classes,
+                          anchors=tuple(tuple(a) for a in anchors),
+                          compute_dtype=compute_dtype,
+                          **(model_overrides or {}))
+        print(f"Creating model: img_size={img_size} classes={number_classes} "
+              f"anchors={list(cfg.anchors)}")
+        model = YoloV3(cfg)
+        state = create_train_state(model, tcfg, jax.random.PRNGKey(seed),
+                                   (batch_size, *img_size))
+        state = replicate_to_mesh(state, mesh)
+
+        train_step = make_train_step(model, cfg, tcfg, mesh, global_batch_size)
+        eval_step = make_eval_step(model, cfg, tcfg, mesh, global_batch_size)
+
+        train_batches = train_reader.batches(global_batch_size)
+        test_batches = test_reader.batches(global_batch_size)
+
+        train_epoch_size = test_every_n_steps
+        test_epoch_size = test_reader.get_image_count() / batch_size
+
+        train_metrics = MetricSet("train")
+        test_metrics = MetricSet("test")
+        stamp = datetime.datetime.now().strftime("%Y%m%dT%H%M%S")
+        tb_root = os.path.join(output_folder, f"tensorboard-{stamp}")
+        train_logger = SummaryLogger(os.path.join(tb_root, "train"))
+        test_logger = SummaryLogger(os.path.join(tb_root, "test"))
+
+        test_loss = []
+        epoch = 0
+        print("Running Network")
+        while True:
+            print(f"---- Epoch: {epoch} ----")
+            if epoch == 0:
+                cur_train_epoch_size = min(tcfg.warmup_steps, train_epoch_size)
+                print(f"Performing Adam Optimizer learning rate warmup for "
+                      f"{cur_train_epoch_size} steps")
+                lr = jnp.float32(learning_rate / tcfg.warmup_lr_divisor)
+            else:
+                cur_train_epoch_size = train_epoch_size
+                lr = jnp.float32(learning_rate)
+
+            start_time = time.time()
+            if profile_dir and epoch == 1:
+                jax.profiler.start_trace(profile_dir)
+            # reference's `if step > size: break` runs size+1 steps
+            for step in range(cur_train_epoch_size + 1):
+                batch = shard_batch(next(train_batches), mesh)
+                state, metrics = train_step(state, batch, lr)
+                metrics = {k: float(v) for k, v in metrics.items()}
+                if np.isnan(metrics["loss"]):
+                    raise RuntimeError(
+                        "Training Loss went to NaN, try a lower learning rate")
+                train_metrics.update(metrics)
+                global_step = int(epoch * train_epoch_size + step)
+                print(f"Train Epoch {epoch}: Batch {step}/{train_epoch_size}: "
+                      f"Loss {train_metrics.metrics['loss'].result()}")
+                train_logger.scalars(train_metrics.results(), global_step)
+                train_metrics.reset()
+            if profile_dir and epoch == 1:
+                jax.profiler.stop_trace()
+
+            epoch_test_loss = []
+            for step in range(int(test_epoch_size) + 1):
+                batch = shard_batch(next(test_batches), mesh)
+                metrics = {k: float(v) for k, v in eval_step(state, batch).items()}
+                if np.isnan(metrics["loss"]):
+                    raise RuntimeError("Test Loss went to NaN")
+                epoch_test_loss.append(metrics["loss"])
+                test_metrics.update(metrics)
+            test_loss.append(float(np.mean(epoch_test_loss)))
+
+            print(f"Test Epoch: {epoch}: Loss = "
+                  f"{test_metrics.metrics['loss'].result()}")
+            test_logger.scalars(test_metrics.results(),
+                                int((epoch + 1) * train_epoch_size))
+            test_metrics.reset()
+
+            write_loss_csv(os.path.join(output_folder, "test_loss.csv"),
+                           test_loss)
+            print(f"Epoch took: {time.time() - start_time} s")
+
+            # best-only checkpoint (reference/train.py:178-182)
+            if (len(test_loss) - 1) == int(np.argmin(test_loss)):
+                print(f"Test loss improved: {np.min(test_loss)}, "
+                      f"saving checkpoint")
+                ckpt.save_checkpoint(output_folder, state)
+                best_checkpoint_saved = True
+
+            # early stopping (reference/train.py:185-197)
+            print("Best Current Epoch Selection:")
+            print("Test Loss:")
+            print(test_loss)
+            error_from_best = np.abs(np.asarray(test_loss) - np.min(test_loss))
+            error_from_best[error_from_best < tcfg.convergence_tolerance] = 0
+            best_epoch = int(np.where(error_from_best == 0)[0][0])
+            print(f"Best epoch: {best_epoch}")
+            if len(test_loss) - best_epoch > early_stopping_count:
+                break
+            epoch += 1
+            if max_epochs is not None and epoch >= max_epochs:
+                break
+
+        train_logger.close()
+        test_logger.close()
+    finally:
+        print("Shutting down train_reader")
+        train_reader.shutdown()
+        print("Shutting down test_reader")
+        test_reader.shutdown()
+
+    if best_checkpoint_saved:
+        print("Converting best checkpoint into inference artifact")
+        template = create_train_state(model, tcfg, jax.random.PRNGKey(seed),
+                                      (batch_size, *img_size))
+        restored = ckpt.restore_checkpoint(output_folder, template)
+        export_path = ckpt.export_model(output_folder, restored.params,
+                                        restored.batch_stats, cfg)
+        print(f"Exported: {export_path}")
+    return export_path
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        prog="train_yolo", description="Train a YOLOv3 model on TPU")
+    parser.add_argument("--batch_size", type=int, default=8,
+                        help="per-chip training batch size")
+    parser.add_argument("--learning_rate", type=float, default=1e-4)
+    parser.add_argument("--test_every_n_steps", type=int, default=1000,
+                        help="number of gradient update steps between test runs")
+    parser.add_argument("--train_database", dest="train_database_filepath",
+                        type=str, required=True,
+                        help="database to use for training (Required)")
+    parser.add_argument("--test_database", dest="test_database_filepath",
+                        type=str, required=True,
+                        help="database to use for testing (Required)")
+    parser.add_argument("--output_dir", dest="output_folder", type=str,
+                        required=True,
+                        help="Folder where outputs will be saved (Required)")
+    parser.add_argument("--early_stopping", type=int, default=10,
+                        help="stop when test loss has not improved for N epochs")
+    parser.add_argument("--use_augmentation", type=int, default=1,
+                        help="whether to use data augmentation [0=false, 1=true]")
+    parser.add_argument("--anchors", type=str,
+                        default=",".join(f"{w}x{h}" for w, h in
+                                         TRAIN_DEFAULT_ANCHORS),
+                        help="comma-separated WxH anchor list (the reference "
+                             "hardcodes 64x384,384x64 in source)")
+    parser.add_argument("--num_devices", type=int, default=None,
+                        help="restrict to the first N chips (default: all)")
+    parser.add_argument("--compute_dtype", type=str, default="bfloat16",
+                        choices=("bfloat16", "float32"))
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of epoch 1 here")
+    args = parser.parse_args(argv)
+
+    anchors = tuple(tuple(float(v) for v in a.split("x"))
+                    for a in args.anchors.split(","))
+
+    print("Arguments:")
+    for k, v in sorted(vars(args).items()):
+        print(f"{k} = {v}")
+
+    train_model(args.batch_size, args.test_every_n_steps,
+                args.train_database_filepath, args.test_database_filepath,
+                args.output_folder, args.early_stopping, args.learning_rate,
+                bool(args.use_augmentation), anchors=anchors,
+                num_devices=args.num_devices,
+                compute_dtype=args.compute_dtype,
+                profile_dir=args.profile_dir)
+
+
+if __name__ == "__main__":
+    main()
