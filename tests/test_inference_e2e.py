@@ -1,0 +1,106 @@
+"""Inference CLI end-to-end: export a tiny model, run both CLIs, check CSVs."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from yolov3_tpu.config import ModelConfig
+from yolov3_tpu.data.imaging import imwrite
+from yolov3_tpu.inference import inference, make_detector_fn
+from yolov3_tpu.inference_tiled import inference_image_folder
+from yolov3_tpu.models.yolo import YoloV3
+from yolov3_tpu.ops import boxes as bbox
+from yolov3_tpu.utils import checkpoint as ckpt
+
+
+@pytest.fixture(scope="module")
+def exported_model(tmp_path_factory):
+    out = tmp_path_factory.mktemp("model")
+    cfg = ModelConfig(img_size=(64, 64, 3), number_classes=2,
+                      anchors=((16, 16), (32, 32)), block_count=1,
+                      filter_count=32, compute_dtype="float32")
+    model = YoloV3(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64, 64, 3), np.float32), train=False)
+    path = ckpt.export_model(str(out), variables["params"],
+                             variables["batch_stats"], cfg)
+    return path, cfg
+
+
+def write_images(folder, rng, n, hw=(64, 64)):
+    os.makedirs(folder, exist_ok=True)
+    for i in range(n):
+        img = rng.randint(0, 255, (*hw, 3)).astype(np.uint8)
+        imwrite(img, os.path.join(folder, f"im{i}.png"))
+
+
+class TestExportLoad:
+    def test_roundtrip(self, exported_model):
+        path, cfg = exported_model
+        params, batch_stats, cfg2 = ckpt.load_model(path)
+        assert cfg2 == cfg
+
+    def test_detector_fn(self, exported_model, rng):
+        path, cfg = exported_model
+        detect, _ = make_detector_fn(path)
+        det = np.asarray(detect(rng.rand(2, 64, 64, 3).astype(np.float32)))
+        assert det.shape == (2, cfg.number_output_boxes, 4 + 1 + 2)
+
+    def test_load_model_missing(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            ckpt.load_model(str(tmp_path / "nope"))
+
+
+class TestInferenceCli:
+    def test_whole_image_csv_output(self, exported_model, tmp_path, rng):
+        path, _ = exported_model
+        img_dir = str(tmp_path / "imgs")
+        out_dir = str(tmp_path / "out")
+        write_images(img_dir, rng, 3)
+        inference(img_dir, "png", path, out_dir, min_box_size=4,
+                  batch_size=2)
+        csvs = sorted(os.listdir(out_dir))
+        assert csvs == ["im0.csv", "im1.csv", "im2.csv"]
+        with open(os.path.join(out_dir, "im0.csv")) as fh:
+            assert fh.readline().strip() == "X,Y,W,H,C"
+        rows = bbox.load_boxes_to_xywhc(os.path.join(out_dir, "im0.csv"))
+        assert rows.shape[1] == 5
+
+    def test_host_and_device_nms_agree(self, exported_model, tmp_path, rng):
+        path, _ = exported_model
+        img_dir = str(tmp_path / "imgs2")
+        write_images(img_dir, rng, 2)
+        out_a = str(tmp_path / "out_device")
+        out_b = str(tmp_path / "out_host")
+        inference(img_dir, "png", path, out_a, min_box_size=4)
+        inference(img_dir, "png", path, out_b, min_box_size=4,
+                  use_host_nms=True)
+        for fn in os.listdir(out_a):
+            a = bbox.load_boxes_to_xywhc(os.path.join(out_a, fn))
+            b = bbox.load_boxes_to_xywhc(os.path.join(out_b, fn))
+            np.testing.assert_array_equal(a, b)
+
+    def test_tiled_inference_csv(self, exported_model, tmp_path, rng):
+        path, _ = exported_model
+        img_dir = str(tmp_path / "big")
+        os.makedirs(img_dir)
+        # image larger than the 64x64 tile -> multi-tile path
+        big = rng.randint(0, 255, (150, 130, 3)).astype(np.uint8)
+        imwrite(big, os.path.join(img_dir, "big.png"))
+        out_dir = str(tmp_path / "out_tiled")
+        inference_image_folder(img_dir, "png", path, out_dir,
+                               tile_size=(64, 64), min_roi_size=4,
+                               batch_size=4, edge_range=0)
+        with open(os.path.join(out_dir, "big.csv")) as fh:
+            assert fh.readline().strip() == "X,Y,W,H,P,C"
+
+    def test_tile_size_mismatch_raises(self, exported_model, tmp_path, rng):
+        path, _ = exported_model
+        img_dir = str(tmp_path / "imgs3")
+        write_images(img_dir, rng, 1)
+        with pytest.raises(ValueError):
+            inference_image_folder(img_dir, "png", path,
+                                   str(tmp_path / "o"), tile_size=(128, 128),
+                                   min_roi_size=4)

@@ -1,0 +1,157 @@
+"""Whole-image inference CLI: exported model -> per-class NMS -> CSV boxes.
+
+TPU-native equivalent of reference/inference.py:24-135. Pipeline parity:
+image -> whole-image z-score -> model -> clip corners to the image ->
+strict small-box filter -> per-class NMS (sqrt score rule) -> corners to
+xywh + class id -> 'X,Y,W,H,C' CSV named after the image.
+
+Differences from the reference:
+- NMS runs ON DEVICE by default (`--host_nms` restores the numpy path;
+  both produce identical results — tests/test_nms_device.py).
+- the corner clip happens after materializing to numpy, fixing the
+  reference's in-place-assignment-on-an-EagerTensor bug
+  (reference/inference.py:62-65; SURVEY.md §7 quirk (d)).
+- images are batched through the network (`--batch_size`), not one by one.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolov3_tpu.config import InferenceConfig
+from yolov3_tpu.data.imaging import ensure_hwc, imread, zscore_normalize
+from yolov3_tpu.models.yolo import YoloV3Detector
+from yolov3_tpu.ops import boxes as bbox
+from yolov3_tpu.ops.nms import batched_nms_device, nms_to_host
+from yolov3_tpu.utils import checkpoint as ckpt
+
+
+def make_detector_fn(saved_model_filepath: str):
+    """Load an exported model and return (jitted_fn, config).
+
+    jitted_fn(images NHWC float32 [B, H, W, C]) -> detections
+    [B, num_boxes, 4+1+C]. The artifact plays the reference's SavedModel
+    role (reference/inference.py:35).
+    """
+    params, batch_stats, cfg = ckpt.load_model(saved_model_filepath)
+    model = YoloV3Detector(cfg)
+    # exported artifacts hold the feature-map model's variables; the
+    # detector nests that model under scope "backbone"
+    variables = {"params": {"backbone": params},
+                 "batch_stats": {"backbone": batch_stats}}
+
+    @jax.jit
+    def detect(images: jnp.ndarray) -> jnp.ndarray:
+        return model.apply(variables, images, train=False)
+
+    return detect, cfg
+
+
+def detections_to_csv_rows(det: np.ndarray, img_hw, min_box_size: int,
+                           icfg: InferenceConfig, use_host_nms: bool,
+                           num_classes: int) -> np.ndarray:
+    """Post-process one image's raw detections to [M, 5] xywhc int rows."""
+    det = np.array(det, dtype=np.float32)  # writable host copy
+    # clip corners into the image (after conversion to numpy — the fix for
+    # the reference's EagerTensor item-assignment bug)
+    det[:, 0] = np.clip(det[:, 0], 0, img_hw[1])
+    det[:, 1] = np.clip(det[:, 1], 0, img_hw[0])
+    det[:, 2] = np.clip(det[:, 2], 0, img_hw[1])
+    det[:, 3] = np.clip(det[:, 3], 0, img_hw[0])
+
+    det = bbox.filter_small_boxes(det, min_box_size)
+    if use_host_nms:
+        boxes, scores, labels = bbox.per_class_nms(
+            det[:, 0:4], det[:, 4:5], det[:, 5:],
+            iou_threshold=icfg.iou_threshold,
+            score_threshold=icfg.score_threshold)
+    else:
+        out = batched_nms_device(det[None], num_classes,
+                                 iou_threshold=icfg.iou_threshold,
+                                 score_threshold=icfg.score_threshold,
+                                 max_boxes=icfg.max_boxes_per_class)
+        boxes, scores, labels = nms_to_host(out[0][0], out[1][0], out[2][0])
+    if boxes is None:
+        return np.zeros((0, 5), dtype=np.int32)
+    boxes = boxes.copy()
+    boxes[:, 2] = boxes[:, 2] - boxes[:, 0]
+    boxes[:, 3] = boxes[:, 3] - boxes[:, 1]
+    return np.concatenate([boxes, labels.reshape(-1, 1)],
+                          axis=-1).astype(np.int32)
+
+
+def inference(image_folder: str, image_format: str,
+              saved_model_filepath: str, output_folder: str,
+              min_box_size: int, batch_size: int = 1,
+              use_host_nms: bool = False,
+              icfg: Optional[InferenceConfig] = None) -> None:
+    os.makedirs(output_folder, exist_ok=True)
+    icfg = icfg or InferenceConfig(min_box_size=min_box_size)
+    image_format = image_format.lstrip(".")
+
+    files = sorted(fn for fn in os.listdir(image_folder)
+                   if fn.endswith(f".{image_format}"))
+    paths = [os.path.join(image_folder, fn) for fn in files]
+
+    detect, cfg = make_detector_fn(saved_model_filepath)
+
+    print("Starting inference of file list")
+    for start in range(0, len(paths), batch_size):
+        chunk = paths[start:start + batch_size]
+        images = []
+        for fp in chunk:
+            img = ensure_hwc(imread(fp)).astype(np.float32)
+            images.append(zscore_normalize(img))
+        batch = np.stack(images)  # NHWC
+        dets = np.asarray(detect(jnp.asarray(batch)))
+
+        for fp, det, img in zip(chunk, dets, images):
+            file_name = os.path.basename(fp)
+            print(f"{start}/{len(paths)} : {file_name}")
+            rows = detections_to_csv_rows(det, img.shape[:2], min_box_size,
+                                          icfg, use_host_nms,
+                                          cfg.number_classes)
+            print(f"Found: {rows.shape[0]} rois")
+            out_csv = os.path.join(
+                output_folder, file_name.replace(image_format, "csv"))
+            bbox.write_boxes_from_xywhc(rows, out_csv)
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(
+        prog="inference",
+        description="Detect objects in a folder of images with a trained model")
+    parser.add_argument("--saved-model-filepath", type=str, required=True,
+                        help="Filepath to the exported model to use")
+    parser.add_argument("--output-folder", type=str, required=True)
+    parser.add_argument("--image-folder", type=str, required=True,
+                        help="folder containing images to inference (Required)")
+    parser.add_argument("--image-format", type=str, default="tif",
+                        help="format (extension) of the input images. "
+                             "E.g {tif, jpg, png}")
+    parser.add_argument("--min-box-size", type=int, default=32,
+                        help="Smallest detection to consider. Default (32, 32).")
+    parser.add_argument("--batch-size", type=int, default=1,
+                        help="images per device batch")
+    parser.add_argument("--host_nms", action="store_true",
+                        help="run NMS on the host (numpy) instead of on device")
+    args = parser.parse_args(argv)
+
+    print("Arguments:")
+    for k, v in sorted(vars(args).items()):
+        print(f"{k} = {v}")
+
+    inference(args.image_folder, args.image_format,
+              args.saved_model_filepath, args.output_folder,
+              args.min_box_size, batch_size=args.batch_size,
+              use_host_nms=args.host_nms)
+
+
+if __name__ == "__main__":
+    main()

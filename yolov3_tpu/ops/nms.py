@@ -1,0 +1,131 @@
+"""On-device non-maximum suppression (fixed-shape, jit/vmap-friendly).
+
+The reference runs greedy NMS on the host in numpy per image per class
+(reference/bbox_utils.py:217-271) — O(C * N^2) CPU work after every model
+call. On TPU we keep the whole post-process on device:
+
+  scores = sqrt(class_probs * objectness)          # reference score rule
+  per class: threshold -> top-K by score -> K x K IoU matrix ->
+             greedy suppression as a fori_loop over the sorted candidates
+
+The greedy recurrence keep[i] = valid[i] AND no kept j < i with
+IoU(j, i) > threshold is exactly the reference's survivor rule (a candidate
+is dropped when its IoU with an already-kept box exceeds the threshold;
+ties at the threshold survive), so for N <= K and distinct scores the
+device kernel matches `yolov3_tpu.ops.boxes.per_class_nms` bit-for-bit.
+Results come back as fixed-size (boxes, scores, keep-mask) arrays; use
+`nms_to_host` for the reference's ragged (boxes, scores, labels) output.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+def pairwise_iou(boxes: Array) -> Array:
+    """IoU matrix [K, K] for ltrb boxes [K, 4] (area = (r-l)*(b-t), no +1)."""
+    lt = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])
+    rb = jnp.minimum(boxes[:, None, 2:4], boxes[None, :, 2:4])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    return inter / (area[:, None] + area[None, :] - inter)
+
+
+def _greedy_suppress(iou: Array, valid: Array, iou_threshold: float) -> Array:
+    """Sequential greedy keep-mask over score-sorted candidates."""
+    k = iou.shape[0]
+    idx = jnp.arange(k)
+
+    def body(i, keep):
+        suppressed = jnp.any(keep & (iou[:, i] > iou_threshold) & (idx < i))
+        return keep.at[i].set(valid[i] & ~suppressed)
+
+    return jax.lax.fori_loop(0, k, body, jnp.zeros((k,), jnp.bool_))
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold",
+                                             "score_threshold", "max_boxes"))
+def per_class_nms_device(boxes: Array, objectness: Array, class_probs: Array,
+                         iou_threshold: float = 0.3,
+                         score_threshold: float = 0.1,
+                         max_boxes: int = 512,
+                         ) -> Tuple[Array, Array, Array]:
+    """Per-class greedy NMS for one image, fully on device.
+
+    boxes [N, 4] ltrb, objectness [N, 1], class_probs [N, C].
+    Returns (boxes [C, K, 4], scores [C, K], keep [C, K] bool) with
+    candidates score-sorted per class; K = max_boxes caps the per-class
+    candidate count (the reference has no cap; candidates beyond K — i.e.
+    more than K detections of one class above threshold in one image — are
+    dropped lowest-score-first).
+    """
+    scores_all = jnp.sqrt(class_probs * objectness)  # [N, C]
+    k = min(max_boxes, boxes.shape[0])
+
+    def one_class(scores: Array) -> Tuple[Array, Array, Array]:
+        masked = jnp.where(scores >= score_threshold, scores, -1.0)
+        top_scores, top_idx = jax.lax.top_k(masked, k)
+        cand = boxes[top_idx]
+        valid = top_scores >= score_threshold
+        keep = _greedy_suppress(pairwise_iou(cand), valid, iou_threshold)
+        return cand, top_scores, keep
+
+    return jax.vmap(one_class, in_axes=1, out_axes=0)(scores_all)
+
+
+def batched_nms_device(detections: Array, num_classes: int,
+                       iou_threshold: float = 0.3,
+                       score_threshold: float = 0.1,
+                       max_boxes: int = 512,
+                       min_box_size: Optional[float] = None,
+                       ) -> Tuple[Array, Array, Array]:
+    """NMS over a batch of decoded detections [B, N, 4+1+C].
+
+    Optionally applies the strict small-box filter
+    (reference/bbox_utils.py:274-281) on device by zeroing those candidates'
+    scores. Returns (boxes [B, C, K, 4], scores [B, C, K], keep [B, C, K]).
+    """
+    boxes = detections[..., 0:4]
+    objectness = detections[..., 4:5]
+    class_probs = detections[..., 5:5 + num_classes]
+    if min_box_size is not None:
+        w = boxes[..., 2] - boxes[..., 0]
+        h = boxes[..., 3] - boxes[..., 1]
+        big = ((w > min_box_size) & (h > min_box_size))[..., None]
+        objectness = jnp.where(big, objectness, 0.0)
+
+    fn = functools.partial(per_class_nms_device,
+                           iou_threshold=iou_threshold,
+                           score_threshold=score_threshold,
+                           max_boxes=max_boxes)
+    return jax.vmap(fn)(boxes, objectness, class_probs)
+
+
+def nms_to_host(cand_boxes, cand_scores, keep
+                ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray],
+                           Optional[np.ndarray]]:
+    """Convert one image's fixed-size device NMS output to the reference's
+    ragged (boxes [M,4], scores [M], labels [M]) — or (None, None, None)
+    when nothing survives (reference/bbox_utils.py:264-271)."""
+    cand_boxes = np.asarray(cand_boxes)
+    cand_scores = np.asarray(cand_scores)
+    keep = np.asarray(keep)
+    out_b, out_s, out_l = [], [], []
+    for c in range(cand_boxes.shape[0]):
+        sel = keep[c]
+        if sel.any():
+            out_b.append(cand_boxes[c][sel])
+            out_s.append(cand_scores[c][sel])
+            out_l.append(np.full(int(sel.sum()), c, dtype=np.int32))
+    if not out_b:
+        return None, None, None
+    return (np.concatenate(out_b), np.concatenate(out_s),
+            np.concatenate(out_l))
