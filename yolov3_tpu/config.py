@@ -61,6 +61,10 @@ class ModelConfig:
     block_count: int = BLOCK_COUNT
     filter_count: int = FILTER_COUNT
     kernel_size: int = KERNEL_SIZE
+    # Run the first two conv blocks in the space-to-depth domain (exact
+    # math, identical checkpoint tree, much better MXU/lane utilization for
+    # the low-channel high-resolution stem). Requires kernel_size == 3.
+    stem_space_to_depth: bool = True
 
     def __post_init__(self):
         h, w, _ = self.img_size

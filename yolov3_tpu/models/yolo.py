@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import Any, List, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from yolov3_tpu.config import (
@@ -105,6 +106,261 @@ class YoloBlock(nn.Module):
         return route, x
 
 
+def space_to_depth(x: Array, block: int = 2) -> Array:
+    """NHWC [N,H,W,C] -> [N,H/b,W/b,b*b*C], channel order (dy, dx, c)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // block, block, w // block, block, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        n, h // block, w // block, block * block * c)
+
+
+def _s2d_kernel_stride1(w: Array) -> Array:
+    """Rearrange a 3x3 stride-1 SAME conv kernel [3,3,Ci,Co] into the exact
+    equivalent space-to-depth-domain kernel [3,3,4Ci,4Co].
+
+    In the 2x2-blocked domain, output block pixel (dy,dx) at block (i,j)
+    needs original rows 2i+dy-1..2i+dy+1, which span blocks i-1..i+1 — a 3x3
+    block window. Original tap (u,v) maps to block offset (U,V) and block
+    pixel (dy',dx') via u = 2(U-1) + dy' - dy + 1; out-of-range taps are
+    zero (they encode the block-domain zero padding exactly).
+    """
+    ci, co = w.shape[2], w.shape[3]
+    out = jnp.zeros((3, 3, 2, 2, ci, 2, 2, co), w.dtype)
+    for U in range(3):
+        for V in range(3):
+            for dyp in range(2):
+                for dxp in range(2):
+                    for dy in range(2):
+                        for dx in range(2):
+                            u = 2 * (U - 1) + dyp - dy + 1
+                            v = 2 * (V - 1) + dxp - dx + 1
+                            if 0 <= u < 3 and 0 <= v < 3:
+                                out = out.at[U, V, dyp, dxp, :, dy, dx, :].set(
+                                    w[u, v])
+    return out.reshape(3, 3, 4 * ci, 4 * co)
+
+
+def _s2d_kernel_stride2_exit(w: Array) -> Array:
+    """Rearrange a 3x3 stride-2 SAME conv kernel [3,3,Ci,Co] into the exact
+    stride-1 kernel [2,2,4Ci,Co] whose output leaves the blocked domain.
+
+    XLA SAME padding for kernel 3 / stride 2 / even input pads (0, 1), so
+    output pixel (i,j) reads original rows 2i..2i+2 = blocks i..i+1 (pixel
+    row 2i+3 is the dead tap). Block-domain padding is (0, 1).
+    """
+    ci, co = w.shape[2], w.shape[3]
+    out = jnp.zeros((2, 2, 2, 2, ci, co), w.dtype)
+    for U in range(2):
+        for V in range(2):
+            for dyp in range(2):
+                for dxp in range(2):
+                    u = 2 * U + dyp
+                    v = 2 * V + dxp
+                    if u < 3 and v < 3:
+                        out = out.at[U, V, dyp, dxp].set(w[u, v])
+    return out.reshape(2, 2, 4 * ci, co)
+
+
+def _s2d_kernel_stride2_stay(w: Array) -> Array:
+    """Rearrange a 3x3 stride-2 SAME conv kernel [3,3,Ci,Co] into the exact
+    stride-2 block-domain kernel [3,3,4Ci,4Co] whose output STAYS blocked
+    (output block (I,J) pixel (dy,dx) = original output pixel (2I+dy,2J+dx),
+    reading original rows 4I+2dy..4I+2dy+2 = blocks 2I+dy..2I+dy+1, i.e. a
+    3-block window at block stride 2 with padding (0, 1))."""
+    ci, co = w.shape[2], w.shape[3]
+    out = jnp.zeros((3, 3, 2, 2, ci, 2, 2, co), w.dtype)
+    for U in range(3):
+        for V in range(3):
+            for dyp in range(2):
+                for dxp in range(2):
+                    for dy in range(2):
+                        for dx in range(2):
+                            u = 2 * U + dyp - 2 * dy
+                            v = 2 * V + dxp - 2 * dx
+                            if 0 <= u < 3 and 0 <= v < 3:
+                                out = out.at[U, V, dyp, dxp, :, dy, dx, :].set(
+                                    w[u, v])
+    return out.reshape(3, 3, 4 * ci, 4 * co)
+
+
+def _s2d_kernel_1x1(w: Array) -> Array:
+    """Lift a 1x1 conv kernel [1,1,Ci,Co] into the blocked domain as the
+    block-diagonal kernel [1,1,4Ci,4Co] (each block pixel maps to itself)."""
+    ci, co = w.shape[2], w.shape[3]
+    out = jnp.zeros((1, 1, 2, 2, ci, 2, 2, co), w.dtype)
+    for dy in range(2):
+        for dx in range(2):
+            out = out.at[0, 0, dy, dx, :, dy, dx, :].set(w[0, 0])
+    return out.reshape(1, 1, 4 * ci, 4 * co)
+
+
+class _ConvParams(nn.Module):
+    """Parameter container with nn.Conv's tree ({kernel, bias})."""
+
+    shape: Tuple[int, ...]  # (kh, kw, in, out)
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 self.shape, jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros_init(),
+                               (self.shape[-1],), jnp.float32)
+
+    def __call__(self):
+        return self.kernel, self.bias
+
+
+class _BNParams(nn.Module):
+    """Parameter container with nn.BatchNorm's tree; stats update by hand."""
+
+    features: int
+    momentum: float
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones_init(),
+                                (self.features,), jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros_init(),
+                               (self.features,), jnp.float32)
+        self.ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32))
+        self.ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32))
+
+    def __call__(self):
+        return self.scale, self.bias, self.ra_mean.value, self.ra_var.value
+
+    def update_stats(self, batch_mean: Array, batch_var: Array) -> None:
+        if not self.is_initializing():
+            m = self.momentum
+            self.ra_mean.value = m * self.ra_mean.value + (1 - m) * batch_mean
+            self.ra_var.value = m * self.ra_var.value + (1 - m) * batch_var
+
+
+class _StemBlockParams(nn.Module):
+    """ConvBlock-shaped parameter container (Conv_0 + BatchNorm_0) for the
+    space-to-depth region — same variable tree as `ConvBlock`, so
+    checkpoints are interchangeable between the standard and S2D paths."""
+
+    features: int
+    in_features: int
+    kernel: int
+    momentum: float
+
+    def setup(self):
+        self.conv = _ConvParams(
+            (self.kernel, self.kernel, self.in_features, self.features),
+            name="Conv_0")
+        self.bn = _BNParams(self.features, self.momentum, name="BatchNorm_0")
+
+
+class _S2DFeatureBlockParams(nn.Module):
+    """FeatureBlock-shaped parameter container (two ConvBlocks) for the
+    space-to-depth region."""
+
+    features: int
+    kernel: int
+    momentum: float
+
+    def setup(self):
+        self.block1 = _StemBlockParams(self.features // 2, self.features, 1,
+                                       self.momentum, name="ConvBlock_0")
+        self.block2 = _StemBlockParams(self.features, self.features // 2,
+                                       self.kernel, self.momentum,
+                                       name="ConvBlock_1")
+
+
+def _s2d_batchnorm(y: Array, blk: "_StemBlockParams", train: bool, tile: int,
+                   epsilon: float, dtype: Any) -> Array:
+    """BatchNorm whose channels may be block-tiled `tile` times.
+
+    Training statistics reduce over (N, H, W, block) so they equal the
+    standard path's per-channel statistics exactly; running stats are stored
+    untiled in the shared ConvBlock/BatchNorm_0 tree.
+    """
+    scale, bias, ra_mean, ra_var = blk.bn()
+    c = scale.shape[0]
+    if train:
+        n, h, w, _ = y.shape
+        yr = y.astype(jnp.float32).reshape(n, h, w, tile, c)
+        batch_mean = yr.mean(axis=(0, 1, 2, 3))
+        batch_var = (yr * yr).mean(axis=(0, 1, 2, 3)) - batch_mean ** 2
+        blk.bn.update_stats(batch_mean, batch_var)
+        mean, var = batch_mean, batch_var
+    else:
+        mean, var = ra_mean, ra_var
+    inv = jax.lax.rsqrt(var + epsilon) * scale
+    mul = jnp.tile(inv, tile).astype(dtype)
+    add = jnp.tile(bias - mean * inv, tile).astype(dtype)
+    return y * mul + add
+
+
+_DN = None
+
+
+def _conv_dn():
+    global _DN
+    if _DN is None:
+        _DN = jax.lax.conv_dimension_numbers(
+            (1, 1, 1, 1), (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC"))
+    return _DN
+
+
+def _s2d_conv_block(x: Array, blk: "_StemBlockParams", kernel: Array,
+                    strides, padding, out_tile: int, train: bool,
+                    alpha: float, bn_epsilon: float, dtype: Any) -> Array:
+    """One ConvBlock (conv -> LeakyReLU -> BN) in the blocked domain."""
+    _, b = blk.conv()
+    y = jax.lax.conv_general_dilated(x, kernel.astype(dtype), strides,
+                                     padding, dimension_numbers=_conv_dn())
+    bias = b if out_tile == 1 else jnp.tile(b, out_tile)
+    y = y + bias.astype(dtype)
+    y = nn.leaky_relu(y, negative_slope=alpha)
+    return _s2d_batchnorm(y, blk, train, out_tile, bn_epsilon, dtype)
+
+
+def _s2d_region_apply(x: Array, stem1, stem2, fb1, fb2, exit_conv,
+                      train: bool, alpha: float, bn_epsilon: float,
+                      dtype: Any) -> Array:
+    """Exact space-to-depth rewrite of the darknet low-channel region: the
+    two stem conv blocks, the first residual feature block, and the stride-2
+    conv into the 128-channel stage.
+
+    The reference runs these layers at high resolution with 3..64 channels
+    (reference/model.py:385-396) — shapes that strand most of the TPU's
+    128-wide vector lanes and systolic array (profiling shows this region
+    costs ~16 ms of a 31 ms 512x512 forward step at batch 32). Rewriting
+    them in a 2x2-blocked domain (input [N,H/2,W/2,4C], exactly rearranged
+    kernels, BN statistics reduced over the block sub-axis) computes
+    equivalent math with lane-filling channel counts. Variable trees match
+    the standard path exactly, so checkpoints are interchangeable.
+
+    Domains: input S2D(H) -> conv1 (s1, stays, spatial H/2) -> conv2
+    (s2, stays, spatial H/4 blocked) -> feature block (1x1 + 3x3 + residual,
+    stays) -> exit conv (s2, leaves, spatial H/8 plain NHWC).
+    """
+    a, e, dt = alpha, bn_epsilon, dtype
+    k1, _ = stem1.conv()
+    k2, _ = stem2.conv()
+    kf1, _ = fb1.conv()
+    kf2, _ = fb2.conv()
+    k3, _ = exit_conv.conv()
+
+    xs = space_to_depth(x.astype(dtype))
+    y = _s2d_conv_block(xs, stem1, _s2d_kernel_stride1(k1), (1, 1),
+                        ((1, 1), (1, 1)), 4, train, a, e, dt)
+    y = _s2d_conv_block(y, stem2, _s2d_kernel_stride2_stay(k2), (2, 2),
+                        ((0, 1), (0, 1)), 4, train, a, e, dt)
+    inputs = y
+    z = _s2d_conv_block(y, fb1, _s2d_kernel_1x1(kf1), (1, 1),
+                        ((0, 0), (0, 0)), 4, train, a, e, dt)
+    z = _s2d_conv_block(z, fb2, _s2d_kernel_stride1(kf2), (1, 1),
+                        ((1, 1), (1, 1)), 4, train, a, e, dt)
+    y = inputs + z  # residual adds the block input (reference/model.py:47)
+    return _s2d_conv_block(y, exit_conv, _s2d_kernel_stride2_exit(k3), (1, 1),
+                           ((0, 1), (0, 1)), 1, train, a, e, dt)
+
+
 def upsample_2x(x: Array) -> Array:
     """Nearest-neighbor 2x spatial upsample (NHWC).
 
@@ -133,29 +389,56 @@ class DetectionHead(nn.Module):
 
 
 class Darknet53(nn.Module):
-    """Backbone producing routes at strides 8/16/32 (reference/model.py:382-421)."""
+    """Backbone producing routes at strides 8/16/32 (reference/model.py:382-421).
+
+    With `s2d_stem` the first two conv blocks run in the space-to-depth
+    domain (see `_s2d_stem_apply`) — same math and the SAME variable tree,
+    so both stems load each other's checkpoints. Conv-block names are pinned
+    so the trees stay identical across the two paths.
+    """
 
     conv_kwargs: dict
     block_count: int = BLOCK_COUNT
     filter_count: int = FILTER_COUNT
     kernel: int = KERNEL_SIZE
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Tuple[Array, Array, Array]:
         fc, k, ck = self.filter_count, self.kernel, self.conv_kwargs
-        x = ConvBlock(fc // 32, k, **ck)(x, train)
-        x = ConvBlock(fc // 16, k, stride=2, **ck)(x, train)
-        x = FeatureBlock(1, k, fc // 16, ck)(x, train)
-        x = ConvBlock(fc // 8, k, stride=2, **ck)(x, train)
-        x = FeatureBlock(2, k, fc // 8, ck)(x, train)
-        x = ConvBlock(fc // 4, k, stride=2, **ck)(x, train)
-        x = FeatureBlock(self.block_count, k, fc // 4, ck)(x, train)
+        mom = ck["bn_momentum"]
+        if self.s2d_stem:
+            assert k == 3, "space-to-depth region requires 3x3 kernels"
+            stem1 = _StemBlockParams(fc // 32, x.shape[-1], k, mom,
+                                     name="ConvBlock_0")
+            stem2 = _StemBlockParams(fc // 16, fc // 32, k, mom,
+                                     name="ConvBlock_1")
+            fb = _S2DFeatureBlockParams(fc // 16, k, mom,
+                                        name="FeatureBlock_0")
+            exit_conv = _StemBlockParams(fc // 8, fc // 16, k, mom,
+                                         name="ConvBlock_2")
+            x = _s2d_region_apply(x, stem1, stem2, fb.block1, fb.block2,
+                                  exit_conv, train, ck["alpha"],
+                                  ck["bn_epsilon"], ck["dtype"])
+        else:
+            x = ConvBlock(fc // 32, k, name="ConvBlock_0", **ck)(x, train)
+            x = ConvBlock(fc // 16, k, stride=2, name="ConvBlock_1",
+                          **ck)(x, train)
+            x = FeatureBlock(1, k, fc // 16, ck, name="FeatureBlock_0")(x, train)
+            x = ConvBlock(fc // 8, k, stride=2, name="ConvBlock_2",
+                          **ck)(x, train)
+        x = FeatureBlock(2, k, fc // 8, ck, name="FeatureBlock_1")(x, train)
+        x = ConvBlock(fc // 4, k, stride=2, name="ConvBlock_3", **ck)(x, train)
+        x = FeatureBlock(self.block_count, k, fc // 4, ck,
+                         name="FeatureBlock_2")(x, train)
         route1 = x  # stride 8
-        x = ConvBlock(fc // 2, k, stride=2, **ck)(x, train)
-        x = FeatureBlock(self.block_count, k, fc // 2, ck)(x, train)
+        x = ConvBlock(fc // 2, k, stride=2, name="ConvBlock_4", **ck)(x, train)
+        x = FeatureBlock(self.block_count, k, fc // 2, ck,
+                         name="FeatureBlock_3")(x, train)
         route2 = x  # stride 16
-        x = ConvBlock(fc, k, stride=2, **ck)(x, train)
-        x = FeatureBlock(self.block_count // 2, k, fc, ck)(x, train)
+        x = ConvBlock(fc, k, stride=2, name="ConvBlock_5", **ck)(x, train)
+        x = FeatureBlock(self.block_count // 2, k, fc, ck,
+                         name="FeatureBlock_4")(x, train)
         route3 = x  # stride 32
         return route1, route2, route3
 
@@ -180,7 +463,8 @@ class YoloV3(nn.Module):
 
         route_s8, route_s16, route_s32 = Darknet53(
             conv_kwargs=ck, block_count=cfg.block_count,
-            filter_count=cfg.filter_count, kernel=k)(x, train)
+            filter_count=cfg.filter_count, kernel=k,
+            s2d_stem=cfg.stem_space_to_depth)(x, train)
         f8 = route_s8.shape[-1]
         f16 = route_s16.shape[-1]
         f32 = route_s32.shape[-1]
