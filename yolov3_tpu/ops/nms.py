@@ -52,11 +52,13 @@ def _greedy_suppress(iou: Array, valid: Array, iou_threshold: float) -> Array:
 
 
 @functools.partial(jax.jit, static_argnames=("iou_threshold",
-                                             "score_threshold", "max_boxes"))
+                                             "score_threshold", "max_boxes",
+                                             "use_pallas"))
 def per_class_nms_device(boxes: Array, objectness: Array, class_probs: Array,
                          iou_threshold: float = 0.3,
                          score_threshold: float = 0.1,
                          max_boxes: int = 512,
+                         use_pallas: Optional[bool] = None,
                          ) -> Tuple[Array, Array, Array]:
     """Per-class greedy NMS for one image, fully on device.
 
@@ -66,19 +68,34 @@ def per_class_nms_device(boxes: Array, objectness: Array, class_probs: Array,
     candidate count (the reference has no cap; candidates beyond K — i.e.
     more than K detections of one class above threshold in one image — are
     dropped lowest-score-first).
+
+    The suppression recurrence runs as a Pallas TPU kernel by default on
+    TPU (one launch for all classes, IoU matrices in VMEM) and as an XLA
+    fori_loop elsewhere; `use_pallas` forces either path.
     """
     scores_all = jnp.sqrt(class_probs * objectness)  # [N, C]
     k = min(max_boxes, boxes.shape[0])
 
-    def one_class(scores: Array) -> Tuple[Array, Array, Array]:
+    def gather(scores: Array) -> Tuple[Array, Array, Array]:
         masked = jnp.where(scores >= score_threshold, scores, -1.0)
         top_scores, top_idx = jax.lax.top_k(masked, k)
-        cand = boxes[top_idx]
-        valid = top_scores >= score_threshold
-        keep = _greedy_suppress(pairwise_iou(cand), valid, iou_threshold)
-        return cand, top_scores, keep
+        return boxes[top_idx], top_scores, top_scores >= score_threshold
 
-    return jax.vmap(one_class, in_axes=1, out_axes=0)(scores_all)
+    cand, top_scores, valid = jax.vmap(gather, in_axes=1, out_axes=0)(
+        scores_all)                                  # [C,K,4] [C,K] [C,K]
+    ious = jax.vmap(pairwise_iou)(cand)              # [C,K,K]
+
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas is None:
+        use_pallas = on_tpu
+    if use_pallas:
+        from yolov3_tpu.ops.pallas.nms_kernel import greedy_suppress_pallas
+        keep = greedy_suppress_pallas(ious, valid, iou_threshold,
+                                      interpret=not on_tpu)
+    else:
+        keep = jax.vmap(
+            lambda m, v: _greedy_suppress(m, v, iou_threshold))(ious, valid)
+    return cand, top_scores, keep
 
 
 def batched_nms_device(detections: Array, num_classes: int,
