@@ -32,12 +32,18 @@ from yolov3_tpu.ops.nms import batched_nms_device, nms_to_host
 from yolov3_tpu.utils import checkpoint as ckpt
 
 
-def make_detector_fn(saved_model_filepath: str):
-    """Load an exported model and return (jitted_fn, config).
+def make_detector_fn(saved_model_filepath: str, num_devices: int = 1):
+    """Load an exported model and return (detector_fn, config).
 
-    jitted_fn(images NHWC float32 [B, H, W, C]) -> detections
+    detector_fn(images NHWC float32 [B, H, W, C]) -> detections
     [B, num_boxes, 4+1+C]. The artifact plays the reference's SavedModel
     role (reference/inference.py:35).
+
+    With num_devices > 1 the batch is sharded across a data-parallel mesh
+    (padded up to a multiple of the chip count) — the reference has no
+    inference parallelism at all (it pins one GPU,
+    reference/inference.py:131-133); batching tiles/images across chips is
+    the TPU-native scale-out (SURVEY.md §2).
     """
     params, batch_stats, cfg = ckpt.load_model(saved_model_filepath)
     model = YoloV3Detector(cfg)
@@ -50,7 +56,24 @@ def make_detector_fn(saved_model_filepath: str):
     def detect(images: jnp.ndarray) -> jnp.ndarray:
         return model.apply(variables, images, train=False)
 
-    return detect, cfg
+    if num_devices <= 1:
+        return detect, cfg
+
+    from yolov3_tpu.parallel.mesh import batch_sharding, make_mesh
+    mesh = make_mesh(n_devices=num_devices)
+    n = mesh.devices.size
+    sharding = batch_sharding(mesh)
+
+    def detect_sharded(images) -> jnp.ndarray:
+        b = images.shape[0]
+        pad = (-b) % n
+        if pad:
+            images = jnp.concatenate(
+                [images, jnp.zeros((pad, *images.shape[1:]), images.dtype)])
+        out = detect(jax.device_put(jnp.asarray(images), sharding))
+        return out[:b]
+
+    return detect_sharded, cfg
 
 
 def detections_to_csv_rows(det: np.ndarray, img_hw, min_box_size: int,
@@ -90,6 +113,7 @@ def inference(image_folder: str, image_format: str,
               saved_model_filepath: str, output_folder: str,
               min_box_size: int, batch_size: int = 1,
               use_host_nms: bool = False,
+              num_devices: int = 1,
               icfg: Optional[InferenceConfig] = None) -> None:
     os.makedirs(output_folder, exist_ok=True)
     icfg = icfg or InferenceConfig(min_box_size=min_box_size)
@@ -99,7 +123,7 @@ def inference(image_folder: str, image_format: str,
                    if fn.endswith(f".{image_format}"))
     paths = [os.path.join(image_folder, fn) for fn in files]
 
-    detect, cfg = make_detector_fn(saved_model_filepath)
+    detect, cfg = make_detector_fn(saved_model_filepath, num_devices)
 
     print("Starting inference of file list")
     for start in range(0, len(paths), batch_size):
@@ -141,6 +165,8 @@ def main(argv=None) -> None:
                         help="images per device batch")
     parser.add_argument("--host_nms", action="store_true",
                         help="run NMS on the host (numpy) instead of on device")
+    parser.add_argument("--num-devices", type=int, default=1,
+                        help="shard image batches across the first N chips")
     args = parser.parse_args(argv)
 
     print("Arguments:")
@@ -150,7 +176,7 @@ def main(argv=None) -> None:
     inference(args.image_folder, args.image_format,
               args.saved_model_filepath, args.output_folder,
               args.min_box_size, batch_size=args.batch_size,
-              use_host_nms=args.host_nms)
+              use_host_nms=args.host_nms, num_devices=args.num_devices)
 
 
 if __name__ == "__main__":

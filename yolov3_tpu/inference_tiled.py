@@ -101,7 +101,8 @@ def inference_image_folder(image_folder: str, image_format: str,
                            tile_size: Sequence[int], min_roi_size: int,
                            batch_size: int = 8,
                            use_host_nms: bool = False,
-                           edge_range: int = EDGE_EFFECT_RANGE) -> None:
+                           edge_range: int = EDGE_EFFECT_RANGE,
+                           num_devices: int = 1) -> None:
     if not os.path.exists(saved_model_filepath):
         raise RuntimeError("Missing saved model filepath")
     image_format = image_format.lstrip(".")
@@ -109,7 +110,7 @@ def inference_image_folder(image_folder: str, image_format: str,
                    if fn.endswith(f".{image_format}"))
     paths = [os.path.join(image_folder, fn) for fn in files]
 
-    detect, cfg = make_detector_fn(saved_model_filepath)
+    detect, cfg = make_detector_fn(saved_model_filepath, num_devices)
     expected_hw = (cfg.img_size[0], cfg.img_size[1])
     if tuple(tile_size) != expected_hw:
         raise ValueError(
@@ -146,6 +147,9 @@ def main(argv=None) -> None:
                         help="tiles per device batch (the reference runs 1)")
     parser.add_argument("--edge-range", type=int, default=EDGE_EFFECT_RANGE,
                         help="ghost-zone radius in pixels (multiple of 32)")
+    parser.add_argument("--num-devices", type=int, default=1,
+                        help="shard tile batches across the first N chips "
+                             "(the reference runs tiles serially on one GPU)")
     parser.add_argument("--host_nms", action="store_true")
     args = parser.parse_args(argv)
 
@@ -158,7 +162,8 @@ def main(argv=None) -> None:
                            (args.tile_height, args.tile_width),
                            args.min_box_size, batch_size=args.batch_size,
                            use_host_nms=args.host_nms,
-                           edge_range=args.edge_range)
+                           edge_range=args.edge_range,
+                           num_devices=args.num_devices)
 
 
 if __name__ == "__main__":
