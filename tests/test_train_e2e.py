@@ -56,3 +56,32 @@ def test_train_end_to_end(tmp_path, rng):
     assert tuple(cfg.img_size) == (64, 64, 1)
     assert cfg.anchors == ANCHORS
     assert params is not None and batch_stats is not None
+
+
+@pytest.mark.slow
+def test_train_end_to_end_device_augment(tmp_path, rng):
+    """Same e2e slice with the jit (on-device) preprocessing pipeline."""
+    build_toy_db(tmp_path / "train.ydb", rng, n=6)
+    build_toy_db(tmp_path / "test.ydb", rng, n=3)
+    out = str(tmp_path / "out_dev")
+
+    export_path = train_model(
+        batch_size=1,
+        test_every_n_steps=2,
+        train_database_filepath=str(tmp_path / "train.ydb"),
+        test_database_filepath=str(tmp_path / "test.ydb"),
+        output_folder=out,
+        early_stopping_count=1,
+        learning_rate=1e-4,
+        use_augmentation=True,
+        anchors=ANCHORS,
+        num_devices=2,
+        max_epochs=1,
+        compute_dtype="float32",
+        model_overrides=dict(block_count=1, filter_count=32),
+        device_augment=True,
+    )
+    with open(os.path.join(out, "test_loss.csv")) as fh:
+        losses = [float(line) for line in fh if line.strip()]
+    assert losses and all(np.isfinite(losses))
+    assert export_path is not None

@@ -1,0 +1,318 @@
+"""On-device (jit) augmentation, normalization, and label encoding.
+
+The reference augments and YOLO-encodes every example in host worker
+processes (reference/imagereader.py:326-411) — numpy/scipy on CPU. On a TPU
+host the accelerator can do this work instead: this module implements the
+whole per-batch preprocessing chain as one jittable function, so the host
+workers only decode records and the TPU performs
+
+  reflect / anisotropic-scale / crop warp -> box affine + cull ->
+  noise -> blur -> per-image z-score -> dense YOLO label grids
+
+with `jax.random` RNG. Semantics mirror `yolov3_tpu.data.augment` and
+`yolov3_tpu.data.encoder` (same parameter ranges, culls, and grid-write
+rules); image resampling is bilinear like the host path but not
+bit-identical to scipy/cv2 kernels. Boxes travel as fixed-size [M, 5]
+arrays with a validity mask (XLA static shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolov3_tpu.config import AugmentConfig
+from yolov3_tpu.data.augment import BOX_MIN_EXTENT
+
+Array = jnp.ndarray
+MAX_BOXES = 64  # fixed per-image box capacity for static shapes
+
+
+# ---------------------------------------------------------------------------
+# geometry
+# ---------------------------------------------------------------------------
+
+def _bilinear_sample(img: Array, ys: Array, xs: Array) -> Array:
+    """Sample img [H,W,C] at float coords ys/xs [h,w] with edge clamping."""
+    h, w = img.shape[0], img.shape[1]
+    ys = jnp.clip(ys, 0.0, h - 1.0)
+    xs = jnp.clip(xs, 0.0, w - 1.0)
+    y0 = jnp.floor(ys).astype(jnp.int32)
+    x0 = jnp.floor(xs).astype(jnp.int32)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    wy = (ys - y0)[..., None]
+    wx = (xs - x0)[..., None]
+    p00 = img[y0, x0]
+    p01 = img[y0, x1]
+    p10 = img[y1, x0]
+    p11 = img[y1, x1]
+    top = p00 * (1 - wx) + p01 * wx
+    bot = p10 * (1 - wx) + p11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _warp_image(img: Array, scale_y: Array, scale_x: Array, dy: Array,
+                dx: Array, reflect_x: Array, reflect_y: Array) -> Array:
+    """Rescale-by-(sy,sx) -> crop at (dy,dx) -> flips, as one bilinear warp.
+
+    Equivalent of reference/augment.py:275-298 with the crop size equal to
+    the image size (the training-reader case, reference/imagereader.py:368).
+    """
+    h, w = img.shape[0], img.shape[1]
+    rows = jnp.arange(h, dtype=jnp.float32)
+    cols = jnp.arange(w, dtype=jnp.float32)
+    rows = jnp.where(reflect_y, rows[::-1], rows)
+    cols = jnp.where(reflect_x, cols[::-1], cols)
+    ys = (rows + dy)[:, None] / scale_y * jnp.ones((1, w))
+    xs = (cols + dx)[None, :] / scale_x * jnp.ones((h, 1))
+    return _bilinear_sample(img, ys, xs)
+
+
+def _gaussian_blur(img: Array, sigma: Array, max_sigma: float) -> Array:
+    """Gaussian blur with traced sigma over H, W, AND C (the reference blurs
+    the channel axis too — scalar-sigma scipy call on an HWC array,
+    reference/augment.py:122). sigma <= 0 is the identity."""
+    radius = max(int(np.ceil(3.0 * max_sigma)), 1)
+    offsets = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    sig = jnp.maximum(sigma, 1e-6)
+    weights = jnp.exp(-0.5 * (offsets / sig) ** 2)
+    weights = weights / jnp.sum(weights)
+    identity = (offsets == 0.0).astype(jnp.float32)
+    weights = jnp.where(sigma > 0.0, weights, identity)
+
+    def conv_axis(x: Array, axis: int) -> Array:
+        pad = [(0, 0)] * x.ndim
+        size = x.shape[axis]
+        # reflect padding needs pad < size; clamp for tiny axes (e.g. C=1)
+        r = min(radius, size - 1)
+        if r == 0:
+            return x
+        pad[axis] = (r, r)
+        xp = jnp.pad(x, pad, mode="reflect")
+        out = jnp.zeros_like(x)
+        for k in range(-r, r + 1):
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(k + r, k + r + size)
+            out = out + weights[k + radius] * xp[tuple(sl)]
+        # renormalize when the axis was too small for the full kernel
+        wsum = jnp.sum(jax.lax.dynamic_slice_in_dim(
+            weights, radius - r, 2 * r + 1))
+        return out / wsum
+
+    for axis in range(img.ndim):
+        img = conv_axis(img, axis)
+    return img
+
+
+def zscore_image(img: Array) -> Array:
+    """Per-image z-score with the std<=1 guard (reference/imagereader.py:34-46)."""
+    mean = jnp.mean(img)
+    std = jnp.std(img)
+    return jnp.where(std <= 1.0, img - mean, (img - mean) / std)
+
+
+# ---------------------------------------------------------------------------
+# boxes
+# ---------------------------------------------------------------------------
+
+def _jitter_boxes(boxes: Array, valid: Array, loc_sev: float, size_sev: float,
+                  img_hw, key: Array) -> Array:
+    """Location/size jitter (reference/augment.py:128-189), int truncation."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    m = boxes.shape[0]
+    x, y, w, h, c = (boxes[:, i].astype(jnp.float32) for i in range(5))
+    x = x + jnp.trunc(loc_sev * w * jax.random.normal(k1, (m,)))
+    y = y + jnp.trunc(loc_sev * h * jax.random.normal(k2, (m,)))
+    dw = jnp.trunc(size_sev * w * jax.random.normal(k3, (m,)))
+    dh = jnp.trunc(size_sev * h * jax.random.normal(k4, (m,)))
+    x = x - jnp.trunc(dw / 2.0)
+    w = w + dw
+    y = y - jnp.trunc(dh / 2.0)
+    h = h + dh
+    x_end = jnp.minimum(x + w - 1, img_hw[1] - 1)
+    y_end = jnp.minimum(y + h - 1, img_hw[0] - 1)
+    x = jnp.maximum(x, 0.0)
+    y = jnp.maximum(y, 0.0)
+    return jnp.stack([x, y, x_end - x + 1, y_end - y + 1, c], axis=1)
+
+
+def _affine_boxes(boxes: Array, valid: Array, crop_hw, scale_x: Array,
+                  scale_y: Array, dx: Array, dy: Array, reflect_x: Array,
+                  reflect_y: Array) -> Tuple[Array, Array]:
+    """Box affine + off-image/thin culls (reference/augment.py:192-272)."""
+    ch, cw = float(crop_hw[0]), float(crop_hw[1])
+    x_st = boxes[:, 0] * scale_x - dx
+    x_end = (boxes[:, 0] + boxes[:, 2] - 1) * scale_x - dx
+    y_st = boxes[:, 1] * scale_y - dy
+    y_end = (boxes[:, 1] + boxes[:, 3] - 1) * scale_y - dy
+    cls = boxes[:, 4]
+
+    off = ((x_st >= cw) | (y_st >= ch)) | ((x_end < 0) | (y_end < 0))
+    thin = ((x_st >= cw - BOX_MIN_EXTENT) | (y_st >= ch - BOX_MIN_EXTENT)
+            | (x_end < BOX_MIN_EXTENT) | (y_end < BOX_MIN_EXTENT))
+    valid = valid & ~(off | thin)
+
+    x_st = jnp.maximum(x_st, 0.0)
+    y_st = jnp.maximum(y_st, 0.0)
+    x_end = jnp.minimum(x_end, cw - 1)
+    y_end = jnp.minimum(y_end, ch - 1)
+
+    rx_st = jnp.where(reflect_x, cw - x_end, x_st)
+    rx_end = jnp.where(reflect_x, cw - x_st, x_end)
+    ry_st = jnp.where(reflect_y, ch - y_end, y_st)
+    ry_end = jnp.where(reflect_y, ch - y_st, y_end)
+
+    out = jnp.stack([rx_st, ry_st, rx_end - rx_st + 1, ry_end - ry_st + 1,
+                     cls], axis=1)
+    return jnp.trunc(out), valid
+
+
+# ---------------------------------------------------------------------------
+# label encoding (device twin of yolov3_tpu.data.encoder.encode_boxes)
+# ---------------------------------------------------------------------------
+
+def encode_labels_device(boxes: Array, valid: Array,
+                         image_size: Sequence[int],
+                         anchors: Sequence[Tuple[float, float]],
+                         number_classes: int) -> List[Array]:
+    """Encode [M,5] (x,y,w,h,c) + validity into the 3 dense label grids.
+
+    Same rules as the host encoder (floor center shift, best-anchor by
+    origin-centered IoU, written to all scales, later boxes overwrite
+    coordinates but one-hot class bits accumulate)."""
+    anchors_arr = jnp.asarray(anchors, dtype=jnp.float32)
+    num_anchors = anchors_arr.shape[0]
+    img_h, img_w = float(image_size[0]), float(image_size[1])
+
+    boxes = boxes.astype(jnp.float32)
+    wh = boxes[:, 2:4]
+    centers = jnp.floor(boxes[:, 0:2] + (wh - 1.0) / 2.0)
+
+    half_wh = wh[:, None, :] / 2.0
+    half_anchor = anchors_arr[None, :, :] / 2.0
+    inter_wh = jnp.maximum(jnp.minimum(half_wh, half_anchor) * 2.0, 0.0)
+    inter = inter_wh[..., 0] * inter_wh[..., 1]
+    area_box = (wh[:, 0] * wh[:, 1])[:, None]
+    area_anchor = (anchors_arr[:, 0] * anchors_arr[:, 1])[None, :]
+    iou = inter / (area_box + area_anchor - inter)
+    best_anchor = jnp.argmax(iou, axis=-1)
+
+    cls = boxes[:, 4].astype(jnp.int32)
+    labels = []
+    for div in (32, 16, 8):
+        gh, gw = int(image_size[0]) // div, int(image_size[1]) // div
+        grid = jnp.zeros((gh, gw, num_anchors, 5 + number_classes),
+                         jnp.float32)
+
+        def write(t, grid, gh=gh, gw=gw):
+            i = jnp.floor(centers[t, 1] / img_h * gh).astype(jnp.int32)
+            j = jnp.floor(centers[t, 0] / img_w * gw).astype(jnp.int32)
+            n = best_anchor[t]
+            row = jnp.concatenate([centers[t], wh[t]])
+
+            def do(g):
+                g = jax.lax.dynamic_update_slice(
+                    g, row.reshape(1, 1, 1, 4), (i, j, n, 0))
+                g = g.at[i, j, n, 4].set(1.0)
+                g = g.at[i, j, n, 5 + cls[t]].set(1.0)
+                return g
+
+            return jax.lax.cond(valid[t], do, lambda g: g, grid)
+
+        grid = jax.lax.fori_loop(0, boxes.shape[0],
+                                 lambda t, g: write(t, g), grid)
+        labels.append(grid)
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# full per-image chain + batch wrapper
+# ---------------------------------------------------------------------------
+
+def _augment_one(img: Array, boxes: Array, valid: Array, key: Array,
+                 cfg: AugmentConfig) -> Tuple[Array, Array, Array]:
+    keys = jax.random.split(key, 8)
+    h, w = img.shape[0], img.shape[1]
+
+    reflect_x = reflect_y = jnp.asarray(False)
+    if cfg.reflection_flag:
+        reflect_x = jax.random.uniform(keys[0]) > 0.5
+        reflect_y = jax.random.uniform(keys[1]) > 0.5
+
+    scale_x = scale_y = jnp.float32(1.0)
+    dy = dx = jnp.float32(0.0)
+    if cfg.scale_augmentation_severity > 0:
+        # crop size == image size, so the scale floor is max(1, 1-s) = 1
+        # (reference/augment.py:77-88 with fx = fy = 1)
+        lo = max(1.0, 1.0 - cfg.scale_augmentation_severity)
+        hi = 1.0 + cfg.scale_augmentation_severity
+        scale_x = jax.random.uniform(keys[2], minval=lo, maxval=hi)
+        scale_y = jax.random.uniform(keys[3], minval=lo, maxval=hi)
+        # integer crop offset within the upscale surplus
+        surplus_y = jnp.floor(h * scale_y) - h
+        surplus_x = jnp.floor(w * scale_x) - w
+        dy = jnp.floor(jax.random.uniform(keys[4]) * surplus_y)
+        dx = jnp.floor(jax.random.uniform(keys[5]) * surplus_x)
+
+    boxes = _jitter_boxes(boxes, valid, cfg.box_location_jitter_severity,
+                          cfg.box_size_augmentation_severity, (h, w), keys[6])
+    img = _warp_image(img, scale_y, scale_x, dy, dx, reflect_x, reflect_y)
+    boxes, valid = _affine_boxes(boxes, valid, (h, w), scale_x, scale_y,
+                                 dx, dy, reflect_x, reflect_y)
+
+    noise_key, blur_key, sigma_key = jax.random.split(keys[7], 3)
+    if cfg.noise_augmentation_severity > 0:
+        dyn_range = jnp.max(img) - jnp.min(img)
+        sigma_max = cfg.noise_augmentation_severity * dyn_range
+        sigma = jax.random.uniform(sigma_key, minval=-1.0, maxval=1.0) * sigma_max
+        img = img + jax.random.normal(noise_key, img.shape) * sigma
+
+    if cfg.blur_augmentation_max_sigma > 0:
+        blur_sigma = jax.random.uniform(
+            blur_key, minval=-cfg.blur_augmentation_max_sigma,
+            maxval=cfg.blur_augmentation_max_sigma)
+        img = _gaussian_blur(img, blur_sigma, cfg.blur_augmentation_max_sigma)
+
+    return img, boxes, valid
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "image_size", "anchors", "number_classes",
+                     "use_augmentation"))
+def preprocess_batch(images: Array, boxes: Array, valid: Array, key: Array,
+                     cfg: AugmentConfig, image_size, anchors,
+                     number_classes: int, use_augmentation: bool = True):
+    """Full device preprocessing for one batch.
+
+    images [B,H,W,C] float32 raw, boxes [B,M,5], valid [B,M] bool ->
+    (z-scored images, label_s32, label_s16, label_s8).
+    """
+    b = images.shape[0]
+    if use_augmentation:
+        keys = jax.random.split(key, b)
+        images, boxes, valid = jax.vmap(
+            lambda i, bx, v, k: _augment_one(i, bx, v, k, cfg))(
+                images, boxes, valid, keys)
+    images = jax.vmap(zscore_image)(images)
+    labels = jax.vmap(
+        lambda bx, v: encode_labels_device(bx, v, image_size, anchors,
+                                           number_classes))(boxes, valid)
+    return (images, labels[0], labels[1], labels[2])
+
+
+def pad_boxes(box_arr: np.ndarray, max_boxes: int = MAX_BOXES
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host helper: ragged [N,5] -> fixed ([M,5], valid [M]); overflow boxes
+    beyond `max_boxes` are dropped."""
+    n = min(box_arr.shape[0], max_boxes)
+    out = np.zeros((max_boxes, 5), np.float32)
+    val = np.zeros((max_boxes,), bool)
+    out[:n] = box_arr[:n]
+    val[:n] = True
+    return out, val

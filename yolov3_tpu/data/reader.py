@@ -58,7 +58,8 @@ class DatasetReader:
                  balance_classes: bool = False,
                  shuffle: bool = True,
                  num_workers: int = 1,
-                 augment_config: Optional[AugmentConfig] = None):
+                 augment_config: Optional[AugmentConfig] = None,
+                 raw_mode: bool = False):
         if not os.path.exists(img_db):
             raise FileNotFoundError(f"Missing database: {img_db}")
         self.image_db = img_db
@@ -68,6 +69,11 @@ class DatasetReader:
         self.shuffle = shuffle
         self.nb_workers = num_workers
         self.augment_config = augment_config or AugmentConfig()
+        # raw mode: workers only decode records and emit
+        # (image float32 HWC, boxes [MAX_BOXES,5], valid [MAX_BOXES]) —
+        # augmentation/normalization/label-encoding then run ON DEVICE via
+        # yolov3_tpu.data.device_pipeline (jit), freeing host CPUs
+        self.raw_mode = raw_mode
         self.queue_starvation = False
 
         self._scan_database()
@@ -201,6 +207,11 @@ class DatasetReader:
                 f"Unexpected image shape from database. Expected "
                 f"{self.image_size}. Found {list(img.shape)}.")
 
+        if self.raw_mode:
+            from yolov3_tpu.data.device_pipeline import pad_boxes
+            padded, valid = pad_boxes(boxes.astype(np.float32))
+            return (img.astype(np.float32), padded, valid)
+
         crop_to = [self.image_size[0], self.image_size[1]]
         if self.use_augmentation:
             ac = self.augment_config
@@ -227,7 +238,10 @@ class DatasetReader:
 
     def _worker_main(self) -> None:
         worker_id = self._id_q.get()
-        self._key_idx = worker_id  # non-shuffle stride offset
+        # non-shuffle stride offset; wrap so worker pools larger than the
+        # dataset still work (the reference would index out of range here,
+        # reference/imagereader.py:246 — it never ran workers > images)
+        self._key_idx = worker_id % len(self.keys_flat)
         seed = (os.getpid() * 7919 + worker_id) & 0x7FFFFFFF
         rng = random.Random(seed)
         rng_np = np.random.RandomState(seed)
@@ -270,8 +284,11 @@ class DatasetReader:
             yield example
 
     def batches(self, batch_size: int) -> Iterator[Tuple[np.ndarray, ...]]:
-        """Yield stacked global batches: (images NHWC, label_s32, label_s16,
-        label_s8), each float32 with leading dim `batch_size`."""
+        """Yield stacked global batches.
+
+        Full mode: (images NHWC, label_s32, label_s16, label_s8).
+        Raw mode: (images NHWC, boxes [B,M,5], valid [B,M]).
+        """
         gen = self.generator()
         while True:
             parts: List[Example] = []
@@ -280,7 +297,8 @@ class DatasetReader:
                 if ex is None:
                     return
                 parts.append(ex)
-            yield tuple(np.stack([p[i] for p in parts]) for i in range(4))
+            yield tuple(np.stack([p[i] for p in parts])
+                        for i in range(len(parts[0])))
 
     def __enter__(self):
         self.startup()

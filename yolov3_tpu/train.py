@@ -72,7 +72,8 @@ def train_model(batch_size: int, test_every_n_steps: int,
                 profile_dir: Optional[str] = None,
                 tcfg: Optional[TrainConfig] = None,
                 augment_config: Optional[AugmentConfig] = None,
-                model_overrides: Optional[dict] = None) -> Optional[str]:
+                model_overrides: Optional[dict] = None,
+                device_augment: bool = False) -> Optional[str]:
     """Run the full training loop; returns the export path (or None)."""
     os.makedirs(output_folder, exist_ok=True)
 
@@ -93,7 +94,8 @@ def train_model(batch_size: int, test_every_n_steps: int,
     print("Setting up test image reader")
     test_reader = DatasetReader(test_database_filepath, anchors,
                                 use_augmentation=False, shuffle=False,
-                                num_workers=reader_count)
+                                num_workers=reader_count,
+                                raw_mode=device_augment)
     print(f"Test Reader has {test_reader.get_image_count()} images")
 
     print("Setting up training image reader")
@@ -101,7 +103,8 @@ def train_model(batch_size: int, test_every_n_steps: int,
                                  use_augmentation=bool(use_augmentation),
                                  shuffle=True, balance_classes=True,
                                  num_workers=reader_count,
-                                 augment_config=augment_config)
+                                 augment_config=augment_config,
+                                 raw_mode=device_augment)
     print(f"Train Reader has {train_reader.get_image_count()} images")
 
     export_path = None
@@ -128,8 +131,34 @@ def train_model(batch_size: int, test_every_n_steps: int,
         train_step = make_train_step(model, cfg, tcfg, mesh, global_batch_size)
         eval_step = make_eval_step(model, cfg, tcfg, mesh, global_batch_size)
 
-        train_batches = train_reader.batches(global_batch_size)
-        test_batches = test_reader.batches(global_batch_size)
+        raw_train_batches = train_reader.batches(global_batch_size)
+        raw_test_batches = test_reader.batches(global_batch_size)
+
+        if device_augment:
+            # host workers only decode; augmentation + z-score + YOLO label
+            # encoding run jitted on the chips (TPU-native; the reference
+            # burns host CPUs on this, reference/imagereader.py:326-411)
+            from yolov3_tpu.data.device_pipeline import preprocess_batch
+            base_key = jax.random.PRNGKey(seed + 1)
+            acfg = augment_config or AugmentConfig()
+            counter = [0]
+
+            def feed(raw_iter, augment_flag):
+                for raw in raw_iter:
+                    images, boxes, valid = shard_batch(raw, mesh)
+                    counter[0] += 1
+                    key = jax.random.fold_in(base_key, counter[0])
+                    yield preprocess_batch(
+                        images, boxes, valid, key, acfg,
+                        tuple(img_size), tuple(cfg.anchors), number_classes,
+                        use_augmentation=augment_flag)
+
+            train_batches = feed(raw_train_batches,
+                                 bool(use_augmentation))
+            test_batches = feed(raw_test_batches, False)
+        else:
+            train_batches = raw_train_batches
+            test_batches = raw_test_batches
 
         train_epoch_size = test_every_n_steps
         test_epoch_size = test_reader.get_image_count() / batch_size
@@ -267,6 +296,10 @@ def main(argv=None) -> None:
                         choices=("bfloat16", "float32"))
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of epoch 1 here")
+    parser.add_argument("--device_augment", type=int, default=0,
+                        help="run augmentation + label encoding on the TPU "
+                             "(jit) instead of in host worker processes "
+                             "[0=false, 1=true]")
     args = parser.parse_args(argv)
 
     anchors = tuple(tuple(float(v) for v in a.split("x"))
@@ -282,7 +315,8 @@ def main(argv=None) -> None:
                 bool(args.use_augmentation), anchors=anchors,
                 num_devices=args.num_devices,
                 compute_dtype=args.compute_dtype,
-                profile_dir=args.profile_dir)
+                profile_dir=args.profile_dir,
+                device_augment=bool(args.device_augment))
 
 
 if __name__ == "__main__":
