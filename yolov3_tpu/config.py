@@ -65,6 +65,9 @@ class ModelConfig:
     # math, identical checkpoint tree, much better MXU/lane utilization for
     # the low-channel high-resolution stem). Requires kernel_size == 3.
     stem_space_to_depth: bool = True
+    # Inference-path 1x1 conv blocks as one fused Pallas kernel
+    # (matmul + bias + LeakyReLU + affine BN). Same checkpoint tree.
+    use_pallas_pointwise: bool = False
 
     def __post_init__(self):
         h, w, _ = self.img_size

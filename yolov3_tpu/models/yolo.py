@@ -51,9 +51,26 @@ class ConvBlock(nn.Module):
     bn_momentum: float = 0.99
     bn_epsilon: float = 1e-3
     dtype: Any = jnp.bfloat16
+    use_pallas_pointwise: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
+        if (self.use_pallas_pointwise and self.kernel == 1
+                and self.stride == 1 and not train):
+            # fused single-kernel path (matmul + bias + leaky + affine BN);
+            # same variable tree as the standard path below
+            conv = _ConvParams((1, 1, x.shape[-1], self.features),
+                               name="Conv_0")
+            bn = _BNParams(self.features, self.bn_momentum,
+                           name="BatchNorm_0")
+            k, b = conv()
+            scale, offset, mean, var = bn()
+            from yolov3_tpu.ops.pallas.conv_block_kernel import (
+                fused_pointwise_conv_block)
+            return fused_pointwise_conv_block(
+                x, k, b, scale, offset, mean, var, alpha=self.alpha,
+                eps=self.bn_epsilon, out_dtype=self.dtype,
+                interpret=jax.default_backend() != "tpu")
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.stride, self.stride), padding="SAME",
                     use_bias=True, dtype=self.dtype,
@@ -457,7 +474,8 @@ class YoloV3(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Tuple[Array, Array, Array]:
         cfg = self.config
         ck = dict(alpha=cfg.leaky_relu_alpha, bn_momentum=cfg.bn_momentum,
-                  bn_epsilon=cfg.bn_epsilon, dtype=cfg.dtype)
+                  bn_epsilon=cfg.bn_epsilon, dtype=cfg.dtype,
+                  use_pallas_pointwise=cfg.use_pallas_pointwise)
         k = cfg.kernel_size
         x = x.astype(cfg.dtype)
 
