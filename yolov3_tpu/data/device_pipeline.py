@@ -36,29 +36,30 @@ MAX_BOXES = 64  # fixed per-image box capacity for static shapes
 # geometry
 # ---------------------------------------------------------------------------
 
-def _bilinear_sample(img: Array, ys: Array, xs: Array) -> Array:
-    """Sample img [H,W,C] at float coords ys/xs [h,w] with edge clamping."""
-    h, w = img.shape[0], img.shape[1]
-    ys = jnp.clip(ys, 0.0, h - 1.0)
-    xs = jnp.clip(xs, 0.0, w - 1.0)
-    y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    wy = (ys - y0)[..., None]
-    wx = (xs - x0)[..., None]
-    p00 = img[y0, x0]
-    p01 = img[y0, x1]
-    p10 = img[y1, x0]
-    p11 = img[y1, x1]
-    top = p00 * (1 - wx) + p01 * wx
-    bot = p10 * (1 - wx) + p11 * wx
-    return top * (1 - wy) + bot * wy
+def _interp_axis(img: Array, coords: Array, axis: int, size: int) -> Array:
+    """1-D linear interpolation along `axis` at float `coords` [size].
+
+    Uses whole-row/column gathers (jnp.take on an index VECTOR), which XLA
+    lowers to wide slices — a 2-D gather with per-pixel indices would
+    scalarize on TPU (measured ~800 ms/batch vs ~ms for the separable form).
+    """
+    coords = jnp.clip(coords, 0.0, size - 1.0)
+    lo = jnp.floor(coords).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, size - 1)
+    frac = coords - lo
+    shape = [1, 1, 1]
+    shape[axis] = coords.shape[0]
+    frac = frac.reshape(shape)
+    a = jnp.take(img, lo, axis=axis)
+    b = jnp.take(img, hi, axis=axis)
+    return a * (1.0 - frac) + b * frac
 
 
 def _warp_image(img: Array, scale_y: Array, scale_x: Array, dy: Array,
                 dx: Array, reflect_x: Array, reflect_y: Array) -> Array:
-    """Rescale-by-(sy,sx) -> crop at (dy,dx) -> flips, as one bilinear warp.
+    """Rescale-by-(sy,sx) -> crop at (dy,dx) -> flips, as a separable
+    bilinear warp (the affine has no rotation, so rows and columns resample
+    independently).
 
     Equivalent of reference/augment.py:275-298 with the crop size equal to
     the image size (the training-reader case, reference/imagereader.py:368).
@@ -68,9 +69,10 @@ def _warp_image(img: Array, scale_y: Array, scale_x: Array, dy: Array,
     cols = jnp.arange(w, dtype=jnp.float32)
     rows = jnp.where(reflect_y, rows[::-1], rows)
     cols = jnp.where(reflect_x, cols[::-1], cols)
-    ys = (rows + dy)[:, None] / scale_y * jnp.ones((1, w))
-    xs = (cols + dx)[None, :] / scale_x * jnp.ones((h, 1))
-    return _bilinear_sample(img, ys, xs)
+    ys = (rows + dy) / scale_y
+    xs = (cols + dx) / scale_x
+    img = _interp_axis(img, ys, axis=0, size=h)
+    return _interp_axis(img, xs, axis=1, size=w)
 
 
 def _gaussian_blur(img: Array, sigma: Array, max_sigma: float) -> Array:
