@@ -157,8 +157,14 @@ def train_model(batch_size: int, test_every_n_steps: int,
                                  bool(use_augmentation))
             test_batches = feed(raw_test_batches, False)
         else:
-            train_batches = raw_train_batches
-            test_batches = raw_test_batches
+            # stage host batches onto the mesh from a background thread so
+            # device_put overlaps with the train step (tf.data .prefetch
+            # analog, reference/train.py:61,65)
+            from yolov3_tpu.utils.prefetch import DevicePrefetcher
+            train_batches = DevicePrefetcher(
+                raw_train_batches, lambda b: shard_batch(b, mesh))
+            test_batches = DevicePrefetcher(
+                raw_test_batches, lambda b: shard_batch(b, mesh))
 
         train_epoch_size = test_every_n_steps
         test_epoch_size = test_reader.get_image_count() / batch_size
@@ -248,6 +254,9 @@ def train_model(batch_size: int, test_every_n_steps: int,
         train_logger.close()
         test_logger.close()
     finally:
+        for it in (locals().get("train_batches"), locals().get("test_batches")):
+            if hasattr(it, "stop"):
+                it.stop()
         print("Shutting down train_reader")
         train_reader.shutdown()
         print("Shutting down test_reader")
