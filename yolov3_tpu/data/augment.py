@@ -192,10 +192,17 @@ def augment_image_box_pair(img: np.ndarray, boxes: Optional[np.ndarray],
                            box_size_augmentation_severity: float = 0,
                            box_location_jitter_severity: float = 0,
                            rng: Optional[np.random.RandomState] = None,
+                           debug_worst_possible_transformation: bool = False,
                            ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-    """Full augmentation chain (reference/augment.py:30-125)."""
+    """Full augmentation chain (reference/augment.py:30-125).
+
+    `debug_worst_possible_transformation` pins scale/noise/blur draws at
+    their maxima to visualize how degraded inputs can get
+    (reference/augment.py:44,83-84,104-105,115-116).
+    """
     assert not rotation_flag, "Rotation not implemented for image and boxes pair"
     rng = rng or np.random
+    _draw = (lambda: 1.0) if debug_worst_possible_transformation else rng.rand
     img = np.asarray(img, dtype=np.float32)
     assert img.ndim in (2, 3)
 
@@ -221,8 +228,8 @@ def augment_image_box_pair(img: np.ndarray, boxes: Optional[np.ndarray],
         hi = 1.0 + scale_augmentation_severity
         lo = max(crop_to[0] / img.shape[0], crop_to[1] / img.shape[1],
                  1.0 - scale_augmentation_severity)
-        scale_x = lo + (hi - lo) * rng.rand()
-        scale_y = lo + (hi - lo) * rng.rand()
+        scale_x = lo + (hi - lo) * _draw()
+        scale_y = lo + (hi - lo) * _draw()
 
     boxes = augment_boxes(boxes, box_location_jitter_severity,
                           box_size_augmentation_severity, img.shape, rng=rng)
@@ -234,11 +241,12 @@ def augment_image_box_pair(img: np.ndarray, boxes: Optional[np.ndarray],
 
     if noise_augmentation_severity > 0:
         sigma_max = noise_augmentation_severity * (np.max(img) - np.min(img))
-        sigma = -sigma_max + 2.0 * sigma_max * rng.rand()
+        sigma = -sigma_max + 2.0 * sigma_max * _draw()
         img = img + rng.standard_normal(img.shape) * sigma
 
     if blur_augmentation_max_sigma > 0:
-        sigma = -blur_augmentation_max_sigma + 2.0 * blur_augmentation_max_sigma * rng.rand()
+        sigma = (-blur_augmentation_max_sigma
+                 + 2.0 * blur_augmentation_max_sigma * _draw())
         if sigma > 0:
             img = scipy.ndimage.gaussian_filter(img, sigma, mode="reflect")
 
