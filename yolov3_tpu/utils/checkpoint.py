@@ -14,10 +14,9 @@ Plays the role of `tf.train.Checkpoint` + SavedModel in the reference
 
 from __future__ import annotations
 
-import json
 import os
 import shutil
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import numpy as np

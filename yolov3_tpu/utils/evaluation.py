@@ -14,7 +14,7 @@ from __future__ import annotations
 import argparse
 import csv
 import os
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
