@@ -59,7 +59,7 @@ def main() -> None:
             # warmup / compile
             jax.block_until_ready(detect(images))
             jax.block_until_ready(detect(images))
-            iters = 10
+            iters = 30  # amortize per-dispatch latency
             t0 = time.perf_counter()
             for _ in range(iters):
                 out = detect(images)
