@@ -96,3 +96,36 @@ class TestYoloV3:
     def test_config_rejects_bad_size(self):
         with pytest.raises(ValueError):
             ModelConfig(img_size=(60, 64, 3), number_classes=1)
+
+
+class TestRemat:
+    def test_remat_same_outputs_and_grads(self, rng):
+        import jax.numpy as jnp
+        base = dict(img_size=(64, 64, 3), number_classes=2,
+                    anchors=((16, 16),), block_count=1, filter_count=32,
+                    compute_dtype="float32", stem_space_to_depth=False)
+        std = YoloV3(ModelConfig(remat_blocks=False, **base))
+        rm = YoloV3(ModelConfig(remat_blocks=True, **base))
+        x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+        v = std.init(jax.random.PRNGKey(0), x, train=False)
+        # identical variable trees
+        a = {jax.tree_util.keystr(p): l.shape for p, l in
+             jax.tree_util.tree_leaves_with_path(v)}
+        v2 = rm.init(jax.random.PRNGKey(0), x, train=False)
+        b = {jax.tree_util.keystr(p): l.shape for p, l in
+             jax.tree_util.tree_leaves_with_path(v2)}
+        assert a == b
+
+        def loss(model, params):
+            fms = model.apply({"params": params,
+                               "batch_stats": v["batch_stats"]},
+                              x, train=False)
+            return sum(jnp.sum(jnp.square(fm)) for fm in fms)
+
+        la, ga = jax.value_and_grad(lambda p: loss(std, p))(v["params"])
+        lb, gb = jax.value_and_grad(lambda p: loss(rm, p))(v["params"])
+        assert float(la) == pytest.approx(float(lb), rel=1e-5)
+        for xa, xb in zip(jax.tree_util.tree_leaves(ga),
+                          jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                       rtol=1e-4, atol=1e-5)

@@ -68,6 +68,10 @@ class ModelConfig:
     # Inference-path 1x1 conv blocks as one fused Pallas kernel
     # (matmul + bias + LeakyReLU + affine BN). Same checkpoint tree.
     use_pallas_pointwise: bool = False
+    # Rematerialize residual/neck blocks in the backward pass
+    # (jax.checkpoint): trades ~1/3 more FLOPs for activation memory,
+    # enabling larger per-chip train batches at 512px+.
+    remat_blocks: bool = False
 
     def __post_init__(self):
         h, w, _ = self.img_size

@@ -419,11 +419,16 @@ class Darknet53(nn.Module):
     filter_count: int = FILTER_COUNT
     kernel: int = KERNEL_SIZE
     s2d_stem: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Tuple[Array, Array, Array]:
         fc, k, ck = self.filter_count, self.kernel, self.conv_kwargs
         mom = ck["bn_momentum"]
+        # rematerialized residual blocks: recompute activations in the
+        # backward pass instead of storing them (jax.checkpoint)
+        FB = (nn.remat(FeatureBlock, static_argnums=(2,)) if self.remat
+              else FeatureBlock)
         if self.s2d_stem:
             assert k == 3, "space-to-depth region requires 3x3 kernels"
             stem1 = _StemBlockParams(fc // 32, x.shape[-1], k, mom,
@@ -441,21 +446,21 @@ class Darknet53(nn.Module):
             x = ConvBlock(fc // 32, k, name="ConvBlock_0", **ck)(x, train)
             x = ConvBlock(fc // 16, k, stride=2, name="ConvBlock_1",
                           **ck)(x, train)
-            x = FeatureBlock(1, k, fc // 16, ck, name="FeatureBlock_0")(x, train)
+            x = FB(1, k, fc // 16, ck, name="FeatureBlock_0")(x, train)
             x = ConvBlock(fc // 8, k, stride=2, name="ConvBlock_2",
                           **ck)(x, train)
-        x = FeatureBlock(2, k, fc // 8, ck, name="FeatureBlock_1")(x, train)
+        x = FB(2, k, fc // 8, ck, name="FeatureBlock_1")(x, train)
         x = ConvBlock(fc // 4, k, stride=2, name="ConvBlock_3", **ck)(x, train)
-        x = FeatureBlock(self.block_count, k, fc // 4, ck,
-                         name="FeatureBlock_2")(x, train)
+        x = FB(self.block_count, k, fc // 4, ck,
+               name="FeatureBlock_2")(x, train)
         route1 = x  # stride 8
         x = ConvBlock(fc // 2, k, stride=2, name="ConvBlock_4", **ck)(x, train)
-        x = FeatureBlock(self.block_count, k, fc // 2, ck,
-                         name="FeatureBlock_3")(x, train)
+        x = FB(self.block_count, k, fc // 2, ck,
+               name="FeatureBlock_3")(x, train)
         route2 = x  # stride 16
         x = ConvBlock(fc, k, stride=2, name="ConvBlock_5", **ck)(x, train)
-        x = FeatureBlock(self.block_count // 2, k, fc, ck,
-                         name="FeatureBlock_4")(x, train)
+        x = FB(self.block_count // 2, k, fc, ck,
+               name="FeatureBlock_4")(x, train)
         route3 = x  # stride 32
         return route1, route2, route3
 
@@ -482,25 +487,28 @@ class YoloV3(nn.Module):
         route_s8, route_s16, route_s32 = Darknet53(
             conv_kwargs=ck, block_count=cfg.block_count,
             filter_count=cfg.filter_count, kernel=k,
-            s2d_stem=cfg.stem_space_to_depth)(x, train)
+            s2d_stem=cfg.stem_space_to_depth,
+            remat=cfg.remat_blocks)(x, train)
         f8 = route_s8.shape[-1]
         f16 = route_s16.shape[-1]
         f32 = route_s32.shape[-1]
 
         head = lambda: DetectionHead(cfg.number_anchors, cfg.number_classes,
                                      dtype=cfg.dtype)
+        YB = (nn.remat(YoloBlock, static_argnums=(2,)) if cfg.remat_blocks
+              else YoloBlock)
 
-        route, y = YoloBlock(k, f32, ck)(route_s32, train)
+        route, y = YB(k, f32, ck, name="YoloBlock_0")(route_s32, train)
         fm1 = head()(y)
 
         y = ConvBlock(f16, 1, **ck)(route, train)
         y = jnp.concatenate([upsample_2x(y), route_s16], axis=-1)
-        route, y = YoloBlock(k, f16, ck)(y, train)
+        route, y = YB(k, f16, ck, name="YoloBlock_1")(y, train)
         fm2 = head()(y)
 
         y = ConvBlock(f8, 1, **ck)(route, train)
         y = jnp.concatenate([upsample_2x(y), route_s8], axis=-1)
-        route, y = YoloBlock(k, f8, ck)(y, train)
+        route, y = YB(k, f8, ck, name="YoloBlock_2")(y, train)
         fm3 = head()(y)
 
         return fm1, fm2, fm3
