@@ -85,3 +85,31 @@ def test_train_end_to_end_device_augment(tmp_path, rng):
         losses = [float(line) for line in fh if line.strip()]
     assert losses and all(np.isfinite(losses))
     assert export_path is not None
+
+
+@pytest.mark.slow
+def test_train_resume(tmp_path, rng):
+    """Resume restores the checkpointed step and loss history."""
+    build_toy_db(tmp_path / "train.ydb", rng, n=4)
+    build_toy_db(tmp_path / "test.ydb", rng, n=2)
+    out = str(tmp_path / "out_resume")
+    common = dict(
+        batch_size=1, test_every_n_steps=2,
+        train_database_filepath=str(tmp_path / "train.ydb"),
+        test_database_filepath=str(tmp_path / "test.ydb"),
+        output_folder=out, early_stopping_count=5, learning_rate=1e-4,
+        use_augmentation=False, anchors=ANCHORS, num_devices=2,
+        compute_dtype="float32",
+        model_overrides=dict(block_count=1, filter_count=32))
+
+    train_model(max_epochs=1, **common)
+    with open(os.path.join(out, "test_loss.csv")) as fh:
+        first = [float(x) for x in fh if x.strip()]
+    assert len(first) == 1
+
+    train_model(max_epochs=2, resume=True, **common)
+    with open(os.path.join(out, "test_loss.csv")) as fh:
+        second = [float(x) for x in fh if x.strip()]
+    # resumed run keeps the first epoch's loss and appends new epochs
+    assert len(second) == 2
+    assert second[0] == pytest.approx(first[0])

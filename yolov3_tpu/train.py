@@ -73,7 +73,8 @@ def train_model(batch_size: int, test_every_n_steps: int,
                 tcfg: Optional[TrainConfig] = None,
                 augment_config: Optional[AugmentConfig] = None,
                 model_overrides: Optional[dict] = None,
-                device_augment: bool = False) -> Optional[str]:
+                device_augment: bool = False,
+                resume: bool = False) -> Optional[str]:
     """Run the full training loop; returns the export path (or None)."""
     os.makedirs(output_folder, exist_ok=True)
 
@@ -126,6 +127,23 @@ def train_model(batch_size: int, test_every_n_steps: int,
         model = YoloV3(cfg)
         state = create_train_state(model, tcfg, jax.random.PRNGKey(seed),
                                    (batch_size, *img_size))
+
+        # mid-run resume (the reference always restarts from scratch,
+        # reference/train.py has no resume path; SURVEY.md §5): restore the
+        # best checkpoint + the test-loss history and continue the epoch
+        # loop from where it stopped.
+        test_loss = []
+        if resume and os.path.exists(os.path.join(output_folder,
+                                                  ckpt.CHECKPOINT_DIR)):
+            print("Resuming from checkpoint")
+            state = ckpt.restore_checkpoint(output_folder, state)
+            best_checkpoint_saved = True
+            loss_csv = os.path.join(output_folder, "test_loss.csv")
+            if os.path.exists(loss_csv):
+                with open(loss_csv) as fh:
+                    test_loss = [float(line) for line in fh if line.strip()]
+            print(f"Resumed at step {int(state.step)}, "
+                  f"{len(test_loss)} completed epochs")
         state = replicate_to_mesh(state, mesh)
 
         train_step = make_train_step(model, cfg, tcfg, mesh, global_batch_size)
@@ -176,8 +194,7 @@ def train_model(batch_size: int, test_every_n_steps: int,
         train_logger = SummaryLogger(os.path.join(tb_root, "train"))
         test_logger = SummaryLogger(os.path.join(tb_root, "test"))
 
-        test_loss = []
-        epoch = 0
+        epoch = len(test_loss)  # > 0 when resuming
         print("Running Network")
         while True:
             print(f"---- Epoch: {epoch} ----")
@@ -309,6 +326,9 @@ def main(argv=None) -> None:
                         help="run augmentation + label encoding on the TPU "
                              "(jit) instead of in host worker processes "
                              "[0=false, 1=true]")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from an existing checkpoint in "
+                             "--output_dir (the reference cannot resume)")
     args = parser.parse_args(argv)
 
     anchors = tuple(tuple(float(v) for v in a.split("x"))
@@ -325,7 +345,8 @@ def main(argv=None) -> None:
                 num_devices=args.num_devices,
                 compute_dtype=args.compute_dtype,
                 profile_dir=args.profile_dir,
-                device_augment=bool(args.device_augment))
+                device_augment=bool(args.device_augment),
+                resume=args.resume)
 
 
 if __name__ == "__main__":
