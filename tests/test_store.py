@@ -118,3 +118,13 @@ class TestBuilder:
         assert (out_dir / "train-toy.ydb" / "annotation_list.csv").exists()
         train.close()
         test.close()
+
+    def test_close_with_live_views(self, tmp_path):
+        """Zero-copy views may outlive the reader; close must not raise."""
+        db = str(tmp_path / "t.ydb")
+        with RecordWriter(db) as w:
+            w.put(b"k:0", b"payload")
+        r = RecordReader(db)
+        view = r.get(b"k:0")
+        r.close()  # BufferError would mean crash-on-teardown
+        assert bytes(view) == b"payload"

@@ -176,7 +176,12 @@ class RecordReader:
 
     def close(self) -> None:
         if self._mm is not None:
-            self._mm.close()
+            try:
+                self._mm.close()
+            except BufferError:
+                # zero-copy views handed out by get() are still alive;
+                # leave the mapping for the GC to reclaim with them
+                pass
             self._mm = None
         if self._fh is not None:
             self._fh.close()
