@@ -104,3 +104,35 @@ class TestInferenceCli:
             inference_image_folder(img_dir, "png", path,
                                    str(tmp_path / "o"), tile_size=(128, 128),
                                    min_roi_size=4)
+
+
+class TestServingFn:
+    def test_one_program_matches_cli_path(self, exported_model, rng):
+        """The fused serving program equals clip->filter->NMS done stepwise."""
+        from yolov3_tpu.config import InferenceConfig
+        from yolov3_tpu.inference import (detections_to_csv_rows,
+                                          make_serving_fn)
+        from yolov3_tpu.ops.nms import nms_to_host
+        path, cfg = exported_model
+        serve, _ = make_serving_fn(path, min_box_size=4)
+        detect, _ = make_detector_fn(path)
+        x = rng.rand(2, 64, 64, 3).astype(np.float32)
+
+        boxes, scores, keep = serve(x)
+        dets = np.asarray(detect(x))
+        icfg = InferenceConfig(min_box_size=4)
+        for i in range(2):
+            got = nms_to_host(np.asarray(boxes[i]), np.asarray(scores[i]),
+                              np.asarray(keep[i]))
+            want = detections_to_csv_rows(dets[i], (64, 64), 4, icfg,
+                                          use_host_nms=True,
+                                          num_classes=cfg.number_classes)
+            if got[0] is None:
+                assert want.shape[0] == 0
+                continue
+            got_rows = got[0].copy()
+            got_rows[:, 2] -= got_rows[:, 0]
+            got_rows[:, 3] -= got_rows[:, 1]
+            got_rows = np.concatenate(
+                [got_rows, got[2].reshape(-1, 1)], axis=1).astype(np.int32)
+            np.testing.assert_array_equal(got_rows, want)

@@ -76,6 +76,47 @@ def make_detector_fn(saved_model_filepath: str, num_devices: int = 1):
     return detect_sharded, cfg
 
 
+def make_serving_fn(saved_model_filepath: str,
+                    icfg: Optional[InferenceConfig] = None,
+                    min_box_size: Optional[int] = None):
+    """Build the full serving program: ONE jitted call from images to final
+    detections (model forward + box decode + corner clip + small-box filter
+    + per-class NMS, all on device).
+
+    Returns (serve, cfg) where serve(images [B,H,W,C] float32) ->
+    (boxes [B,C,K,4] ltrb, scores [B,C,K], keep [B,C,K] bool). The reference
+    splits this across a SavedModel call and host numpy
+    (reference/inference.py:58-79); on TPU the whole pipeline is one XLA
+    program — nothing crosses the host until the final fixed-size results.
+    """
+    icfg = icfg or InferenceConfig()
+    if min_box_size is None:
+        min_box_size = icfg.min_box_size
+    params, batch_stats, cfg = ckpt.load_model(saved_model_filepath)
+    model = YoloV3Detector(cfg)
+    variables = {"params": {"backbone": params},
+                 "batch_stats": {"backbone": batch_stats}}
+    img_h, img_w = cfg.img_size[0], cfg.img_size[1]
+
+    @jax.jit
+    def serve(images: jnp.ndarray):
+        det = model.apply(variables, images, train=False)
+        clipped = jnp.concatenate([
+            jnp.clip(det[..., 0:1], 0, img_w),
+            jnp.clip(det[..., 1:2], 0, img_h),
+            jnp.clip(det[..., 2:3], 0, img_w),
+            jnp.clip(det[..., 3:4], 0, img_h),
+            det[..., 4:],
+        ], axis=-1)
+        return batched_nms_device(clipped, cfg.number_classes,
+                                  iou_threshold=icfg.iou_threshold,
+                                  score_threshold=icfg.score_threshold,
+                                  max_boxes=icfg.max_boxes_per_class,
+                                  min_box_size=float(min_box_size))
+
+    return serve, cfg
+
+
 def detections_to_csv_rows(det: np.ndarray, img_hw, min_box_size: int,
                            icfg: InferenceConfig, use_host_nms: bool,
                            num_classes: int) -> np.ndarray:
