@@ -103,12 +103,17 @@ def batched_nms_device(detections: Array, num_classes: int,
                        score_threshold: float = 0.1,
                        max_boxes: int = 512,
                        min_box_size: Optional[float] = None,
+                       use_pallas: Optional[bool] = None,
                        ) -> Tuple[Array, Array, Array]:
     """NMS over a batch of decoded detections [B, N, 4+1+C].
 
     Optionally applies the strict small-box filter
     (reference/bbox_utils.py:274-281) on device by zeroing those candidates'
     scores. Returns (boxes [B, C, K, 4], scores [B, C, K], keep [B, C, K]).
+
+    On TPU all batch x class suppression problems fold into ONE Pallas
+    kernel launch (grid cells on a core run sequentially, so per-class
+    launches would serialize the whole batch).
     """
     boxes = detections[..., 0:4]
     objectness = detections[..., 4:5]
@@ -119,11 +124,35 @@ def batched_nms_device(detections: Array, num_classes: int,
         big = ((w > min_box_size) & (h > min_box_size))[..., None]
         objectness = jnp.where(big, objectness, 0.0)
 
-    fn = functools.partial(per_class_nms_device,
-                           iou_threshold=iou_threshold,
-                           score_threshold=score_threshold,
-                           max_boxes=max_boxes)
-    return jax.vmap(fn)(boxes, objectness, class_probs)
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas is None:
+        use_pallas = on_tpu
+    b = boxes.shape[0]
+    k = min(max_boxes, boxes.shape[1])
+
+    def gather_image(img_boxes, img_scores):
+        def gather(scores):
+            masked = jnp.where(scores >= score_threshold, scores, -1.0)
+            top_scores, top_idx = jax.lax.top_k(masked, k)
+            return (img_boxes[top_idx], top_scores,
+                    top_scores >= score_threshold)
+        return jax.vmap(gather, in_axes=1, out_axes=0)(img_scores)
+
+    scores_all = jnp.sqrt(class_probs * objectness)  # [B, N, C]
+    cand, top_scores, valid = jax.vmap(gather_image)(boxes, scores_all)
+    ious = jax.vmap(jax.vmap(pairwise_iou))(cand)    # [B, C, K, K]
+
+    if use_pallas:
+        from yolov3_tpu.ops.pallas.nms_kernel import greedy_suppress_pallas
+        keep = greedy_suppress_pallas(
+            ious.reshape(b * num_classes, k, k),
+            valid.reshape(b * num_classes, k),
+            iou_threshold, interpret=not on_tpu)
+        keep = keep.reshape(b, num_classes, k)
+    else:
+        keep = jax.vmap(jax.vmap(
+            lambda m, v: _greedy_suppress(m, v, iou_threshold)))(ious, valid)
+    return cand, top_scores, keep
 
 
 def nms_to_host(cand_boxes, cand_scores, keep
