@@ -128,3 +128,22 @@ class TestPipeline:
         np.testing.assert_array_equal(imgs[0], imgs[2])
         np.testing.assert_array_equal(imgs[1], imgs[3])
         assert not np.array_equal(imgs[0], imgs[1])
+
+
+class TestDtypes:
+    def test_uint16_images_end_to_end(self, tmp_path, rng):
+        """README dtype contract: uint16 survives the store and the reader."""
+        with RecordWriter(str(tmp_path / "db")) as w:
+            for i in range(4):
+                img = rng.randint(0, 65535, (64, 64, 1)).astype(np.uint16)
+                boxes = np.array([[4, 4, 20, 20, 0]], dtype=np.int32)
+                key = records.make_record_key(i, f"im{i}", boxes)
+                w.put(key.encode(), records.encode_record(img, boxes))
+        r = DatasetReader(str(tmp_path / "db"), ANCHORS,
+                          use_augmentation=True, shuffle=True,
+                          balance_classes=True, num_workers=1)
+        with r:
+            img, l32, _, _ = r.get_example()
+        assert img.dtype == np.float32
+        assert np.isfinite(img).all()
+        assert l32.sum() >= 0

@@ -204,6 +204,8 @@ def main(argv=None) -> None:
                         help="Smallest detection to consider. Default (32, 32).")
     parser.add_argument("--batch-size", type=int, default=1,
                         help="images per device batch")
+    parser.add_argument("--max-boxes", type=int, default=512,
+                        help="per-class candidate cap for the device NMS")
     parser.add_argument("--host_nms", action="store_true",
                         help="run NMS on the host (numpy) instead of on device")
     parser.add_argument("--num-devices", type=int, default=1,
@@ -217,7 +219,9 @@ def main(argv=None) -> None:
     inference(args.image_folder, args.image_format,
               args.saved_model_filepath, args.output_folder,
               args.min_box_size, batch_size=args.batch_size,
-              use_host_nms=args.host_nms, num_devices=args.num_devices)
+              use_host_nms=args.host_nms, num_devices=args.num_devices,
+              icfg=InferenceConfig(min_box_size=args.min_box_size,
+                                   max_boxes_per_class=args.max_boxes))
 
 
 if __name__ == "__main__":

@@ -102,7 +102,8 @@ def inference_image_folder(image_folder: str, image_format: str,
                            batch_size: int = 8,
                            use_host_nms: bool = False,
                            edge_range: int = EDGE_EFFECT_RANGE,
-                           num_devices: int = 1) -> None:
+                           num_devices: int = 1,
+                           icfg: Optional[InferenceConfig] = None) -> None:
     if not os.path.exists(saved_model_filepath):
         raise RuntimeError("Missing saved model filepath")
     image_format = image_format.lstrip(".")
@@ -126,7 +127,7 @@ def inference_image_folder(image_folder: str, image_format: str,
         predictions = inference_image_tiled(
             detect, cfg.number_classes, img, tile_size, min_roi_size,
             batch_size=batch_size, use_host_nms=use_host_nms,
-            edge_range=edge_range)
+            edge_range=edge_range, icfg=icfg)
         out_csv = os.path.join(output_folder,
                                file_name.replace(image_format, "csv"))
         bbox.write_boxes_from_ltrbpc(predictions, out_csv)
@@ -150,6 +151,8 @@ def main(argv=None) -> None:
     parser.add_argument("--num-devices", type=int, default=1,
                         help="shard tile batches across the first N chips "
                              "(the reference runs tiles serially on one GPU)")
+    parser.add_argument("--max-boxes", type=int, default=512,
+                        help="per-class candidate cap for the device NMS")
     parser.add_argument("--host_nms", action="store_true")
     args = parser.parse_args(argv)
 
@@ -163,7 +166,10 @@ def main(argv=None) -> None:
                            args.min_box_size, batch_size=args.batch_size,
                            use_host_nms=args.host_nms,
                            edge_range=args.edge_range,
-                           num_devices=args.num_devices)
+                           num_devices=args.num_devices,
+                           icfg=InferenceConfig(
+                               min_box_size=args.min_box_size,
+                               max_boxes_per_class=args.max_boxes))
 
 
 if __name__ == "__main__":
