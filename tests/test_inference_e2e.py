@@ -136,3 +136,18 @@ class TestServingFn:
             got_rows = np.concatenate(
                 [got_rows, got[2].reshape(-1, 1)], axis=1).astype(np.int32)
             np.testing.assert_array_equal(got_rows, want)
+
+
+class TestOverlays:
+    def test_overlay_pngs_written(self, exported_model, tmp_path, rng):
+        path, _ = exported_model
+        img_dir = str(tmp_path / "imgs_ov")
+        write_images(img_dir, rng, 2)
+        out_dir = str(tmp_path / "out_ov")
+        ov_dir = str(tmp_path / "overlays")
+        inference(img_dir, "png", path, out_dir, min_box_size=4,
+                  overlay_folder=ov_dir)
+        ovs = sorted(os.listdir(ov_dir))
+        assert ovs == ["im0.png", "im1.png"]
+        from yolov3_tpu.data.imaging import imread
+        assert imread(os.path.join(ov_dir, "im0.png")).shape[:2] == (64, 64)

@@ -150,11 +150,24 @@ def detections_to_csv_rows(det: np.ndarray, img_hw, min_box_size: int,
                           axis=-1).astype(np.int32)
 
 
+def save_overlay(img: np.ndarray, rows: np.ndarray, out_path: str) -> None:
+    """Write a PNG with detection rectangles burned in (the reference keeps
+    this as commented-out debug code, reference/inference.py:88-96)."""
+    from yolov3_tpu.data.imaging import imwrite
+    vis = img - img.min()
+    rng = vis.max()
+    if rng > 0:
+        vis = vis / rng
+    vis = np.ascontiguousarray((vis * 255).astype(np.uint8))
+    imwrite(bbox.draw_boxes(vis, rows), out_path)
+
+
 def inference(image_folder: str, image_format: str,
               saved_model_filepath: str, output_folder: str,
               min_box_size: int, batch_size: int = 1,
               use_host_nms: bool = False,
               num_devices: int = 1,
+              overlay_folder: Optional[str] = None,
               icfg: Optional[InferenceConfig] = None) -> None:
     os.makedirs(output_folder, exist_ok=True)
     icfg = icfg or InferenceConfig(min_box_size=min_box_size)
@@ -186,6 +199,10 @@ def inference(image_folder: str, image_format: str,
             out_csv = os.path.join(
                 output_folder, file_name.replace(image_format, "csv"))
             bbox.write_boxes_from_xywhc(rows, out_csv)
+            if overlay_folder:
+                os.makedirs(overlay_folder, exist_ok=True)
+                save_overlay(img, rows, os.path.join(
+                    overlay_folder, file_name.replace(image_format, "png")))
 
 
 def main(argv=None) -> None:
@@ -206,6 +223,8 @@ def main(argv=None) -> None:
                         help="images per device batch")
     parser.add_argument("--max-boxes", type=int, default=512,
                         help="per-class candidate cap for the device NMS")
+    parser.add_argument("--save-overlays", type=str, default=None,
+                        help="also write detection-overlay PNGs to this folder")
     parser.add_argument("--host_nms", action="store_true",
                         help="run NMS on the host (numpy) instead of on device")
     parser.add_argument("--num-devices", type=int, default=1,
@@ -220,6 +239,7 @@ def main(argv=None) -> None:
               args.saved_model_filepath, args.output_folder,
               args.min_box_size, batch_size=args.batch_size,
               use_host_nms=args.host_nms, num_devices=args.num_devices,
+              overlay_folder=args.save_overlays,
               icfg=InferenceConfig(min_box_size=args.min_box_size,
                                    max_boxes_per_class=args.max_boxes))
 
