@@ -52,23 +52,27 @@ def inference_image_tiled(detect_fn, num_classes: int, img: np.ndarray,
         batch = np.stack([zscore_normalize(t.astype(np.float32))
                           for t in chunk])
         dets = np.asarray(detect_fn(jnp.asarray(batch)), dtype=np.float32)
+        if not use_host_nms:
+            # one device NMS over the whole tile chunk (small-box filter
+            # applied on device by score-zeroing)
+            nms_out = batched_nms_device(
+                dets, num_classes, iou_threshold=icfg.iou_threshold,
+                score_threshold=icfg.score_threshold,
+                max_boxes=icfg.max_boxes_per_class,
+                min_box_size=float(min_roi_size))
+            nms_out = tuple(np.asarray(o) for o in nms_out)
 
         for k, det in enumerate(dets):
             idx = start + k
-            det = bbox.filter_small_boxes(det, min_roi_size)
             if use_host_nms:
+                det = bbox.filter_small_boxes(det, min_roi_size)
                 tile_boxes, tile_scores, tile_labels = bbox.per_class_nms(
                     det[:, 0:4], det[:, 4:5], det[:, 5:],
                     iou_threshold=icfg.iou_threshold,
                     score_threshold=icfg.score_threshold)
             else:
-                out = batched_nms_device(
-                    det[None], num_classes,
-                    iou_threshold=icfg.iou_threshold,
-                    score_threshold=icfg.score_threshold,
-                    max_boxes=icfg.max_boxes_per_class)
                 tile_boxes, tile_scores, tile_labels = nms_to_host(
-                    out[0][0], out[1][0], out[2][0])
+                    nms_out[0][k], nms_out[1][k], nms_out[2][k])
             if tile_boxes is None:
                 continue
 
