@@ -25,11 +25,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from yolov3_tpu.config import InferenceConfig
-from yolov3_tpu.data.imaging import ensure_hwc, imread, zscore_normalize
+from yolov3_tpu.data.device_pipeline import zscore_image
+from yolov3_tpu.data.imaging import ensure_hwc, imread
 from yolov3_tpu.models.yolo import YoloV3Detector
 from yolov3_tpu.ops import boxes as bbox
 from yolov3_tpu.ops.nms import batched_nms_device, nms_to_host
 from yolov3_tpu.utils import checkpoint as ckpt
+
+
+@jax.jit
+def zscore_batch(images: jnp.ndarray) -> jnp.ndarray:
+    """Per-image z-score on device (single-core hosts are too slow for
+    whole-image statistics over megapixel batches). Accepts raw integer
+    pixels so the host->device transfer moves uint8/uint16, not float32."""
+    return jax.vmap(zscore_image)(images.astype(jnp.float32))
 
 
 def make_detector_fn(saved_model_filepath: str, num_devices: int = 1):
@@ -182,12 +191,10 @@ def inference(image_folder: str, image_format: str,
     print("Starting inference of file list")
     for start in range(0, len(paths), batch_size):
         chunk = paths[start:start + batch_size]
-        images = []
-        for fp in chunk:
-            img = ensure_hwc(imread(fp)).astype(np.float32)
-            images.append(zscore_normalize(img))
-        batch = np.stack(images)  # NHWC
-        dets = np.asarray(detect(jnp.asarray(batch)))
+        # transfer raw pixels (uint8/uint16); cast + z-score on device
+        images = [ensure_hwc(imread(fp)) for fp in chunk]
+        batch = zscore_batch(jnp.asarray(np.stack(images)))  # NHWC, on device
+        dets = np.asarray(detect(batch))
 
         for fp, det, img in zip(chunk, dets, images):
             file_name = os.path.basename(fp)

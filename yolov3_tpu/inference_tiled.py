@@ -22,8 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from yolov3_tpu.config import EDGE_EFFECT_RANGE, InferenceConfig
-from yolov3_tpu.data.imaging import ensure_hwc, imread, zscore_normalize
-from yolov3_tpu.inference import make_detector_fn
+from yolov3_tpu.data.imaging import ensure_hwc, imread
+from yolov3_tpu.inference import make_detector_fn, zscore_batch
 from yolov3_tpu.ops import boxes as bbox
 from yolov3_tpu.ops.nms import batched_nms_device, nms_to_host
 from yolov3_tpu.utils.tiling import (
@@ -49,23 +49,24 @@ def inference_image_tiled(detect_fn, num_classes: int, img: np.ndarray,
 
     for start in range(0, len(tiles), batch_size):
         chunk = tiles[start:start + batch_size]
-        batch = np.stack([zscore_normalize(t.astype(np.float32))
-                          for t in chunk])
-        dets = np.asarray(detect_fn(jnp.asarray(batch)), dtype=np.float32)
-        if not use_host_nms:
-            # one device NMS over the whole tile chunk (small-box filter
-            # applied on device by score-zeroing)
+        # tile z-score + detection + NMS all stay on device; only the final
+        # fixed-size NMS results cross back to the host
+        batch = zscore_batch(jnp.asarray(np.stack(chunk)))
+        dets_dev = detect_fn(batch)
+        if use_host_nms:
+            dets = np.asarray(dets_dev, dtype=np.float32)
+        else:
             nms_out = batched_nms_device(
-                dets, num_classes, iou_threshold=icfg.iou_threshold,
+                dets_dev, num_classes, iou_threshold=icfg.iou_threshold,
                 score_threshold=icfg.score_threshold,
                 max_boxes=icfg.max_boxes_per_class,
                 min_box_size=float(min_roi_size))
             nms_out = tuple(np.asarray(o) for o in nms_out)
 
-        for k, det in enumerate(dets):
+        for k in range(len(chunk)):
             idx = start + k
             if use_host_nms:
-                det = bbox.filter_small_boxes(det, min_roi_size)
+                det = bbox.filter_small_boxes(dets[k], min_roi_size)
                 tile_boxes, tile_scores, tile_labels = bbox.per_class_nms(
                     det[:, 0:4], det[:, 4:5], det[:, 5:],
                     iou_threshold=icfg.iou_threshold,
