@@ -296,6 +296,7 @@ def preprocess_batch(images: Array, boxes: Array, valid: Array, key: Array,
     (z-scored images, label_s32, label_s16, label_s8).
     """
     b = images.shape[0]
+    images = images.astype(jnp.float32)  # raw pixels cast on device
     if use_augmentation:
         keys = jax.random.split(key, b)
         images, boxes, valid = jax.vmap(

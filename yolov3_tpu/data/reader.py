@@ -210,7 +210,10 @@ class DatasetReader:
         if self.raw_mode:
             from yolov3_tpu.data.device_pipeline import pad_boxes
             padded, valid = pad_boxes(boxes.astype(np.float32))
-            return (img.astype(np.float32), padded, valid)
+            # keep the source dtype: uint8 pixels cost 4x less through the
+            # worker queue and the host->device transfer; the device
+            # pipeline casts to float32 on chip
+            return (img, padded, valid)
 
         crop_to = [self.image_size[0], self.image_size[1]]
         if self.use_augmentation:
