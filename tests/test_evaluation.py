@@ -96,3 +96,21 @@ class TestFolders:
         boxes, scores, classes = load_predictions(fp)
         assert scores[0] == pytest.approx(0.5)
         np.testing.assert_array_equal(boxes[0], [1, 2, 10, 11])
+
+
+class TestMissingPredictions:
+    def test_gt_without_predictions_counts_as_missed(self, tmp_path):
+        gt_dir = tmp_path / "gt2"
+        pred_dir = tmp_path / "pred2"
+        gt_dir.mkdir()
+        pred_dir.mkdir()
+        bbox.write_boxes_from_xywhc(np.array([[0, 0, 10, 10, 0]]),
+                                    str(gt_dir / "a.csv"))
+        bbox.write_boxes_from_xywhc(np.array([[0, 0, 10, 10, 0]]),
+                                    str(gt_dir / "b.csv"))
+        # prediction only for image a (perfect); b has no prediction file
+        bbox.write_boxes_from_ltrbpc(np.array([[0, 0, 9, 9, 0.9, 0]]),
+                                     str(pred_dir / "a.csv"))
+        out = evaluate_folders(str(pred_dir), str(gt_dir))
+        # recall tops out at 0.5 -> AP 0.5
+        assert out["mAP"] == pytest.approx(0.5)

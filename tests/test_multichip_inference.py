@@ -47,3 +47,29 @@ class TestShardedDetector:
         a = bbox.load_boxes_to_xywhc(os.path.join(out1, "big.csv"))
         b = bbox.load_boxes_to_xywhc(os.path.join(out8, "big.csv"))
         np.testing.assert_array_equal(a, b)
+
+
+class TestTiledNmsPathEquivalence:
+    def test_host_vs_device_nms_through_tiling(self, exported_model,
+                                               tmp_path, rng):  # noqa: F811
+        """The whole tiled pipeline gives identical CSVs with host or
+        device NMS."""
+        import os
+        from yolov3_tpu.data.imaging import imwrite
+        from yolov3_tpu.inference_tiled import inference_image_folder
+        from yolov3_tpu.ops import boxes as bbox
+        path, _ = exported_model
+        img_dir = str(tmp_path / "big2")
+        os.makedirs(img_dir)
+        imwrite(rng.randint(0, 255, (150, 130, 3)).astype(np.uint8),
+                os.path.join(img_dir, "big.png"))
+        out_d = str(tmp_path / "od")
+        out_h = str(tmp_path / "oh")
+        for out, host in ((out_d, False), (out_h, True)):
+            inference_image_folder(img_dir, "png", path, out,
+                                   tile_size=(64, 64), min_roi_size=4,
+                                   batch_size=4, edge_range=0,
+                                   use_host_nms=host)
+        a = bbox.load_boxes_to_xywhc(os.path.join(out_d, "big.csv"))
+        b = bbox.load_boxes_to_xywhc(os.path.join(out_h, "big.csv"))
+        np.testing.assert_array_equal(a, b)
