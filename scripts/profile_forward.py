@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Profile the flagship forward pass and print a per-op time breakdown.
+
+Captures a jax.profiler trace of the 512px detector (or a custom size),
+aggregates device-op durations from the trace, and maps the hottest fusions
+back to model layers via the compiled HLO metadata — the workflow used for
+the space-to-depth optimization (see DESIGN.md).
+
+  python scripts/profile_forward.py --batch 32 --img 512 [--steps 3]
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--img", type=int, default=512)
+    parser.add_argument("--steps", type=int, default=3)
+    parser.add_argument("--top", type=int, default=25)
+    parser.add_argument("--trace_dir", type=str, default=None)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    cache = os.path.expanduser("~/.cache/yolov3_tpu_xla_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from yolov3_tpu.config import ModelConfig
+    from yolov3_tpu.models.yolo import YoloV3Detector
+
+    cfg = ModelConfig(img_size=(args.img, args.img, 3), number_classes=2,
+                      anchors=((64, 384), (384, 64)),
+                      compute_dtype="bfloat16")
+    model = YoloV3Detector(cfg)
+    variables = jax.jit(lambda k: model.init(
+        k, jnp.zeros((1, args.img, args.img, 3), jnp.float32),
+        train=False))(jax.random.PRNGKey(0))
+    fn = jax.jit(lambda im: model.apply(variables, im, train=False))
+    x = jnp.asarray(np.random.RandomState(0).randn(
+        args.batch, args.img, args.img, 3).astype(np.float32))
+
+    print("compiling...", flush=True)
+    jax.block_until_ready(fn(x))
+    jax.block_until_ready(fn(x))
+
+    trace_dir = args.trace_dir or tempfile.mkdtemp(prefix="yolo_prof_")
+    jax.profiler.start_trace(trace_dir)
+    out = None
+    for _ in range(args.steps):
+        out = fn(x)
+    jax.block_until_ready(out)
+    jax.profiler.stop_trace()
+
+    traces = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                       recursive=True)
+    if not traces:
+        raise SystemExit(f"no trace produced under {trace_dir}")
+    with gzip.open(traces[-1]) as fh:
+        trace = json.load(fh)
+
+    durs = collections.Counter()
+    for e in trace.get("traceEvents", []):
+        name = e.get("name", "")
+        if (e.get("ph") == "X" and "dur" in e and not name.startswith("$")
+                and not name.startswith("jit_") and "block_until" not in name):
+            durs[name] += e["dur"]
+
+    hlo = fn.lower(x).compile().as_text()
+
+    def layer_of(fusion_name):
+        m = re.search(r"%" + re.escape(fusion_name)
+                      + r" = (\S+) fusion.*?op_name=\"([^\"]*)\"", hlo)
+        if not m:
+            return "?"
+        return m.group(1)[:30] + " " + "/".join(m.group(2).split("/")[-3:])
+
+    total = sum(durs.values()) / args.steps / 1e3
+    print(f"\ndevice total: {total:.2f} ms/step "
+          f"({args.batch / total * 1000:.0f} img/s)")
+    for name, d in durs.most_common(args.top):
+        print(f"{d / args.steps / 1e3:8.2f} ms/step  {layer_of(name)[:100]}")
+
+    if args.trace_dir is None:
+        shutil.rmtree(trace_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
