@@ -28,6 +28,36 @@ class TestUpsample:
                     np.asarray(x)[0, i, j], (2, 2, 4)))
 
 
+    def test_channel_sum_matches_ones_transposed_conv_oracle(self, rng):
+        """Bug-compatible mode == reference/model.py:93-105 exactly.
+
+        Numpy oracle: Conv2DTranspose, kernel (2,2,C,C) all ones, stride 2
+        => out[n, 2i+di, 2j+dj, co] = sum_ci x[n, i, j, ci] for all co, di, dj.
+        """
+        x = rng.rand(2, 3, 4, 5).astype(np.float32)
+        y = np.asarray(upsample_2x(jnp.asarray(x), channel_sum=True))
+        assert y.shape == (2, 6, 8, 5)
+        csum = x.sum(axis=-1)  # [n, h, w]
+        oracle = np.repeat(np.repeat(csum, 2, axis=1), 2, axis=2)
+        for co in range(5):
+            np.testing.assert_allclose(y[..., co], oracle, rtol=1e-6)
+
+    def test_model_flag_switches_upsample_mode(self, rng):
+        """upsample_channel_sum changes outputs but not the variable tree."""
+        base = dict(img_size=(64, 64, 3), number_classes=2,
+                    anchors=((16, 16),), block_count=1, filter_count=32,
+                    compute_dtype="float32")
+        fixed = YoloV3(ModelConfig(**base))
+        bugcompat = YoloV3(ModelConfig(upsample_channel_sum=True, **base))
+        x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+        v = fixed.init(jax.random.PRNGKey(0), x, train=False)
+        a = fixed.apply(v, x, train=False)
+        b = bugcompat.apply(v, x, train=False)  # same tree loads
+        assert not np.allclose(np.asarray(a[1]), np.asarray(b[1]))
+        # stride-32 map is produced before any upsample: identical
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
 class TestYoloV3:
     def test_feature_map_shapes(self, rng):
         cfg = tiny_config()

@@ -98,6 +98,32 @@ class TestDeviceNms:
                                         min_box_size=32)
         assert int(np.asarray(keep).sum()) == 1
 
+    def test_saturation_detected_and_warned_once(self, rng, capsys):
+        """ADVICE round 1: surface silent top-K truncation to CLI users."""
+        import yolov3_tpu.ops.nms as nms_mod
+        from yolov3_tpu.ops.nms import warn_if_saturated
+        # 64 disjoint above-threshold candidates, cap 16 -> saturated
+        boxes = np.stack([np.arange(64) * 200.0, np.zeros(64),
+                          np.arange(64) * 200.0 + 50, np.full(64, 50.0)],
+                         axis=1).astype(np.float32)
+        objectness = np.ones((64, 1), np.float32)
+        probs = np.full((64, 1), 0.8, np.float32)
+        _, cand_s, _ = per_class_nms_device(boxes, objectness, probs,
+                                            max_boxes=16)
+        nms_mod._saturation_warned = False
+        assert warn_if_saturated(np.asarray(cand_s))
+        assert "raise --max-boxes" in capsys.readouterr().out
+        # second call is silent (one-time warning)
+        assert warn_if_saturated(np.asarray(cand_s))
+        assert capsys.readouterr().out == ""
+        # plenty of headroom (only 4 of 64 candidates above threshold,
+        # cap 16) -> tail slots carry the -1 sentinel -> not saturated
+        low_probs = np.full((64, 1), 1e-4, np.float32)
+        low_probs[:4] = 0.8
+        _, cand_s2, _ = per_class_nms_device(boxes, objectness, low_probs,
+                                             max_boxes=16)
+        assert not warn_if_saturated(np.asarray(cand_s2))
+
     def test_jit_cache_stable_shapes(self, rng):
         boxes, objectness, probs = random_detections(rng, 30, 2)
         o1 = per_class_nms_device(boxes, objectness, probs, max_boxes=16)

@@ -75,14 +75,19 @@ class TestTrainStep:
         step = make_train_step(model, cfg, tcfg, mesh, gbs)
         batch = shard_batch(make_batch(rng, gbs), mesh)
         _, metrics = step(state, batch, jnp.float32(1e-4))
-        assert set(metrics) == {"loss", "loss_xy", "loss_wh", "loss_obj",
-                                "loss_class"}
+        assert set(metrics) == {"loss", "loss_sum", "loss_xy", "loss_wh",
+                                "loss_obj", "loss_class"}
         total_parts = (metrics["loss_xy"] + metrics["loss_wh"]
                        + metrics["loss_obj"] + metrics["loss_class"])
-        # loss = psum over replicas of (per-replica total / global batch);
-        # with identical per-replica batches this equals the component sum
-        assert float(metrics["loss"]) == pytest.approx(
+        # loss_sum = psum over replicas of (per-replica total / global
+        # batch); with identical per-replica batches this equals the
+        # component sum. The logged "loss" is the Keras-Mean analog:
+        # sum / n_replicas (ADVICE round 1).
+        assert float(metrics["loss_sum"]) == pytest.approx(
             float(total_parts), rel=1e-4)
+        n = len(jax.devices())
+        assert float(metrics["loss"]) == pytest.approx(
+            float(metrics["loss_sum"]) / n, rel=1e-5)
 
     def test_multichip_matches_singlechip(self, setup, rng):
         """The same global batch gives the same loss on 1 vs 8 chips
@@ -104,9 +109,13 @@ class TestTrainStep:
         s1 = replicate_to_mesh(state0, mesh1)
         m8 = eval8(s8, shard_batch(batch8, mesh8))
         m1 = eval1(s1, shard_batch(batch8, mesh1))
-        # loss8 = sum_r (S_r/1)/8 = S_total/8 ; loss1 = (S_total/8)/8 * ... ->
-        # divisors differ by the local batch (8); account for it explicitly
-        assert float(m8["loss"]) == pytest.approx(8 * float(m1["loss"]), rel=1e-3)
+        # loss_sum8 = sum_r (S_r/1)/8 = S_total/8 ; loss_sum1 = (S_total/8)/8
+        # -> divisors differ by the local batch (8); account for it explicitly
+        assert float(m8["loss_sum"]) == pytest.approx(
+            8 * float(m1["loss_sum"]), rel=1e-3)
+        # the LOGGED loss (mean over replicas) is chip-count invariant:
+        # training curves read the same at any scale (ADVICE round 1)
+        assert float(m8["loss"]) == pytest.approx(float(m1["loss"]), rel=1e-3)
 
     def test_eval_step_does_not_mutate(self, setup, rng):
         cfg, tcfg, model, mesh, gbs, state = setup

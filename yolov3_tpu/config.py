@@ -68,6 +68,13 @@ class ModelConfig:
     # Inference-path 1x1 conv blocks as one fused Pallas kernel
     # (matmul + bias + LeakyReLU + affine BN). Same checkpoint tree.
     use_pallas_pointwise: bool = False
+    # The reference's FPN "upsample" is a frozen all-ones Conv2DTranspose
+    # (reference/model.py:93-105) whose output channels are each the SUM
+    # over all input channels — not nearest-neighbor replication. Default
+    # False = our intentional fix (per-channel nearest-neighbor); True =
+    # bug-compatible channel-sum mode, required when loading weights
+    # trained by the TF2 reference (utils/tf_import.py sets this).
+    upsample_channel_sum: bool = False
     # Rematerialize residual/neck blocks in the backward pass
     # (jax.checkpoint): trades ~1/3 more FLOPs for activation memory,
     # enabling larger per-chip train batches at 512px+.

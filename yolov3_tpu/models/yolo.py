@@ -5,8 +5,9 @@ TPU-native design choices vs. the reference (reference/model.py:19-464):
   The public apply-functions accept NCHW and transpose at the edge.
 - bfloat16 compute / float32 params by default; float32 available for parity.
 - The fixed ones-kernel 2x Conv2DTranspose upsample (reference/model.py:93-105)
-  is mathematically nearest-neighbor 2x replication, implemented here as a
-  reshape-broadcast (free on the VPU, no fake weights to carry).
+  sums over input channels (see `upsample_2x`); we deliberately FIX this to
+  per-channel nearest-neighbor replication by default and keep a
+  bug-compatible `upsample_channel_sum` mode for reference-weight parity.
 
 Reference quirks preserved for output parity (SURVEY.md §7 "hard parts"):
 - conv block order is Conv -> LeakyReLU -> BatchNorm, i.e. activation INSIDE
@@ -378,15 +379,30 @@ def _s2d_region_apply(x: Array, stem1, stem2, fb1, fb2, exit_conv,
                            ((0, 1), (0, 1)), 1, train, a, e, dt)
 
 
-def upsample_2x(x: Array) -> Array:
-    """Nearest-neighbor 2x spatial upsample (NHWC).
+def upsample_2x(x: Array, channel_sum: bool = False) -> Array:
+    """2x spatial upsample (NHWC).
 
-    Exactly the reference's non-trainable ones-kernel stride-2
-    Conv2DTranspose (reference/model.py:93-105): with a 2x2 all-ones kernel
-    and stride 2, every input pixel maps to a 2x2 output block of its own
-    value — i.e. nearest-neighbor replication.
+    The reference uses a non-trainable ones-kernel stride-2 Conv2DTranspose
+    (reference/model.py:93-105). That is NOT per-channel nearest-neighbor
+    replication: an all-ones (2, 2, C_out, C_in) kernel makes every output
+    channel the SUM over all input channels, so after the reference
+    upsample every channel carries the same channel-sum value (the
+    following YoloBlock convs relearn a mixing on top of that).
+
+    We deliberately fix this to per-channel nearest-neighbor replication
+    (``channel_sum=False``, the default) — an intentional deviation,
+    documented like the EagerTensor clip fix. ``channel_sum=True``
+    reproduces the reference's quirk bit-for-bit and exists so weights
+    trained by the TF2 reference (imported via `utils/tf_import.py`)
+    decode identically.
     """
     n, h, w, c = x.shape
+    if channel_sum:
+        # float32 accumulation: summing C bf16 values loses precision the
+        # TF reference (fp32 conv accumulate) does not.
+        x = jnp.broadcast_to(
+            jnp.sum(x.astype(jnp.float32), axis=-1, keepdims=True),
+            (n, h, w, c)).astype(x.dtype)
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
     return x.reshape(n, 2 * h, 2 * w, c)
 
@@ -501,13 +517,14 @@ class YoloV3(nn.Module):
         route, y = YB(k, f32, ck, name="YoloBlock_0")(route_s32, train)
         fm1 = head()(y)
 
+        up = lambda y: upsample_2x(y, channel_sum=cfg.upsample_channel_sum)
         y = ConvBlock(f16, 1, **ck)(route, train)
-        y = jnp.concatenate([upsample_2x(y), route_s16], axis=-1)
+        y = jnp.concatenate([up(y), route_s16], axis=-1)
         route, y = YB(k, f16, ck, name="YoloBlock_1")(y, train)
         fm2 = head()(y)
 
         y = ConvBlock(f8, 1, **ck)(route, train)
-        y = jnp.concatenate([upsample_2x(y), route_s8], axis=-1)
+        y = jnp.concatenate([up(y), route_s8], axis=-1)
         route, y = YB(k, f8, ck, name="YoloBlock_2")(y, train)
         fm3 = head()(y)
 

@@ -12,7 +12,8 @@ reformulated for XLA with static shapes:
   anchor-priors-at-origin and max over the anchors that actually appear in
   the batch's GT (a bitmask reduction) — bit-identical to the reference's
   dynamic-shape version, including the V=0 edge case where TF's reduce_max
-  over an empty axis yields -inf (=> everything ignored).
+  over an empty axis yields -inf (-inf < 0.5 everywhere => NOTHING is
+  ignored: every negative cell contributes to the objectness loss).
 - xy loss is MSE in logit space: both targets and predictions are mapped
   back through a clipped (0.01, 0.99) inverted sigmoid
   (reference/model.py:310-333).

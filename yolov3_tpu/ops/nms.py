@@ -155,6 +155,30 @@ def batched_nms_device(detections: Array, num_classes: int,
     return cand, top_scores, keep
 
 
+_saturation_warned = False
+
+
+def warn_if_saturated(cand_scores: np.ndarray) -> bool:
+    """One-time operator warning when the fixed top-K candidate list filled.
+
+    The device NMS caps candidates at K = max_boxes per class per image and
+    silently drops lower-scored ones beyond K; the reference's host NMS has
+    no cap. Below-threshold slots carry the -1.0 sentinel, so a class whose
+    LAST (lowest) candidate score is non-negative had >= K above-threshold
+    candidates — detections may have been truncated. Returns True when
+    saturated. (If max_boxes already covers every decoded box nothing can be
+    dropped; saturation then just means "every box was above threshold".)
+    """
+    global _saturation_warned
+    saturated = bool((np.asarray(cand_scores)[..., -1] >= 0).any())
+    if saturated and not _saturation_warned:
+        _saturation_warned = True
+        print("WARNING: device NMS candidate list saturated (>= max_boxes "
+              "above-score-threshold detections in one class); detections "
+              "may have been dropped — raise --max-boxes.")
+    return saturated
+
+
 def nms_to_host(cand_boxes, cand_scores, keep
                 ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray],
                            Optional[np.ndarray]]:
@@ -164,6 +188,7 @@ def nms_to_host(cand_boxes, cand_scores, keep
     cand_boxes = np.asarray(cand_boxes)
     cand_scores = np.asarray(cand_scores)
     keep = np.asarray(keep)
+    warn_if_saturated(cand_scores)
     out_b, out_s, out_l = [], [], []
     for c in range(cand_boxes.shape[0]):
         sel = keep[c]

@@ -123,7 +123,13 @@ def make_train_step(model: YoloV3, cfg: ModelConfig, tcfg: TrainConfig,
         new_params = optax.apply_updates(state.params, updates)
 
         metrics = {
-            "loss": loss_sum,
+            # "loss" matches the reference's logged TensorBoard scalar: the
+            # Keras Mean over per-replica losses (= sum / n_replicas,
+            # reference/train.py:127-133). "loss_sum" is the value
+            # strategy.reduce(SUM) returns (reference/model.py:513), used
+            # for the NaN tripwire and test_loss.csv.
+            "loss": jax.lax.pmean(loss, DATA_AXIS),
+            "loss_sum": loss_sum,
             "loss_xy": jax.lax.pmean(yolo_loss.xy, DATA_AXIS),
             "loss_wh": jax.lax.pmean(yolo_loss.wh, DATA_AXIS),
             "loss_obj": jax.lax.pmean(yolo_loss.objectness, DATA_AXIS),
@@ -154,7 +160,8 @@ def make_eval_step(model: YoloV3, cfg: ModelConfig, tcfg: TrainConfig,
             model, cfg, tcfg, global_batch_size, state.params,
             state.batch_stats, images, (l32, l16, l8), train=False)
         return {
-            "loss": jax.lax.psum(loss, DATA_AXIS),
+            "loss": jax.lax.pmean(loss, DATA_AXIS),
+            "loss_sum": jax.lax.psum(loss, DATA_AXIS),
             "loss_xy": jax.lax.pmean(yolo_loss.xy, DATA_AXIS),
             "loss_wh": jax.lax.pmean(yolo_loss.wh, DATA_AXIS),
             "loss_obj": jax.lax.pmean(yolo_loss.objectness, DATA_AXIS),

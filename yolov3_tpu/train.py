@@ -171,9 +171,14 @@ def train_model(batch_size: int, test_every_n_steps: int,
                         tuple(img_size), tuple(cfg.anchors), number_classes,
                         use_augmentation=augment_flag)
 
-            train_batches = feed(raw_train_batches,
-                                 bool(use_augmentation))
-            test_batches = feed(raw_test_batches, False)
+            # run the shard_batch device_put + preprocess dispatch in a
+            # background thread too, so the host->device RTT overlaps the
+            # train step just like host mode below
+            from yolov3_tpu.utils.prefetch import DevicePrefetcher
+            train_batches = DevicePrefetcher(
+                feed(raw_train_batches, bool(use_augmentation)), lambda b: b)
+            test_batches = DevicePrefetcher(
+                feed(raw_test_batches, False), lambda b: b)
         else:
             # stage host batches onto the mesh from a background thread so
             # device_put overlaps with the train step (tf.data .prefetch
@@ -212,10 +217,12 @@ def train_model(batch_size: int, test_every_n_steps: int,
                 jax.profiler.start_trace(profile_dir)
             # reference's `if step > size: break` runs size+1 steps
             for step in range(cur_train_epoch_size + 1):
-                batch = shard_batch(next(train_batches), mesh)
-                state, metrics = train_step(state, batch, lr)
+                # batches arrive already staged/sharded by the prefetcher
+                state, metrics = train_step(state, next(train_batches), lr)
                 metrics = {k: float(v) for k, v in metrics.items()}
-                if np.isnan(metrics["loss"]):
+                # NaN tripwire checks the cross-replica SUM, the quantity the
+                # reference's dist_train_step returns (reference/train.py:124)
+                if np.isnan(metrics.pop("loss_sum")):
                     raise RuntimeError(
                         "Training Loss went to NaN, try a lower learning rate")
                 train_metrics.update(metrics)
@@ -229,11 +236,14 @@ def train_model(batch_size: int, test_every_n_steps: int,
 
             epoch_test_loss = []
             for step in range(int(test_epoch_size) + 1):
-                batch = shard_batch(next(test_batches), mesh)
-                metrics = {k: float(v) for k, v in eval_step(state, batch).items()}
-                if np.isnan(metrics["loss"]):
+                metrics = {k: float(v) for k, v
+                           in eval_step(state, next(test_batches)).items()}
+                # test_loss.csv / early stopping track the summed loss, the
+                # value the reference appends (reference/train.py:150-155)
+                loss_sum = metrics.pop("loss_sum")
+                if np.isnan(loss_sum):
                     raise RuntimeError("Test Loss went to NaN")
-                epoch_test_loss.append(metrics["loss"])
+                epoch_test_loss.append(loss_sum)
                 test_metrics.update(metrics)
             test_loss.append(float(np.mean(epoch_test_loss)))
 
