@@ -14,7 +14,9 @@ import dataclasses
 import json
 from typing import List, Tuple
 
-import jax.numpy as jnp
+# NOTE: no jax import at module level — reader worker processes (spawn
+# context) import this module and must stay JAX-free for fast startup and
+# to avoid touching the TPU plugin from data-loading processes.
 
 # Network constants (reference/model.py:22-26)
 BLOCK_COUNT = 8
@@ -94,6 +96,7 @@ class ModelConfig:
 
     @property
     def dtype(self):
+        import jax.numpy as jnp
         return jnp.dtype(self.compute_dtype)
 
     @property

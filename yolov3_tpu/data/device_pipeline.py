@@ -27,6 +27,9 @@ import numpy as np
 
 from yolov3_tpu.config import AugmentConfig
 from yolov3_tpu.data.augment import BOX_MIN_EXTENT
+# re-exported for backward compatibility; defined in encoder so reader
+# workers can pad boxes without importing JAX
+from yolov3_tpu.data.encoder import MAX_BOXES, pad_boxes  # noqa: F401
 
 Array = jnp.ndarray
 MAX_BOXES = 64  # fixed per-image box capacity for static shapes

@@ -102,3 +102,21 @@ def decode_label_grid(label: np.ndarray, all_anchors: bool = True) -> np.ndarray
     if not out:
         return np.zeros((0, 4), dtype=np.float32)
     return np.vstack(out)
+
+
+# Fixed per-image box capacity for static shapes on device
+# (yolov3_tpu.data.device_pipeline consumes these; defined here so reader
+# worker processes never have to import JAX).
+MAX_BOXES = 64
+
+
+def pad_boxes(box_arr: np.ndarray, max_boxes: int = MAX_BOXES
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    """Host helper: ragged [N,5] -> fixed ([M,5], valid [M]); overflow boxes
+    beyond `max_boxes` are dropped."""
+    n = min(box_arr.shape[0], max_boxes)
+    out = np.zeros((max_boxes, 5), np.float32)
+    val = np.zeros((max_boxes,), bool)
+    out[:n] = box_arr[:n]
+    val[:n] = True
+    return out, val

@@ -42,11 +42,33 @@ import numpy as np
 from yolov3_tpu.config import AugmentConfig
 from yolov3_tpu.data import augment as aug
 from yolov3_tpu.data import records
-from yolov3_tpu.data.encoder import encode_boxes, grid_shapes
+from yolov3_tpu.data.encoder import encode_boxes, grid_shapes, pad_boxes
 from yolov3_tpu.data.imaging import zscore_normalize
 from yolov3_tpu.data.store import open_reader
 
 Example = Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]
+
+
+def _mp_context():
+    """Worker start method: never `fork`.
+
+    The training process has imported JAX (multithreaded); forking it can
+    deadlock a worker in a held lock — the reference never hits this because
+    its readers start before TF spins up threads, but here one stray import
+    is fatal. `forkserver` forks workers from a clean single-threaded server
+    process (cheap per worker on this 1-core host); fall back to `spawn`
+    where it is unavailable. Worker-reachable modules stay JAX-free
+    (config imports jax lazily; pad_boxes lives in encoder).
+    """
+    try:
+        ctx = multiprocessing.get_context("forkserver")
+        ctx.set_forkserver_preload(["yolov3_tpu.data.reader"])
+        return ctx
+    except ValueError:  # platform without forkserver
+        return multiprocessing.get_context("spawn")
+
+
+_MP = _mp_context()
 
 
 class DatasetReader:
@@ -79,13 +101,17 @@ class DatasetReader:
         self._scan_database()
 
         self.max_out_qsize = num_workers * 10
-        self._terminate_q: multiprocessing.Queue = multiprocessing.Queue(
-            maxsize=num_workers)
-        self._out_q: multiprocessing.Queue = multiprocessing.Queue(
-            maxsize=self.max_out_qsize)
-        self._id_q: multiprocessing.Queue = multiprocessing.Queue(
-            maxsize=num_workers)
+        self._terminate_q = _MP.Queue(maxsize=num_workers)
+        self._out_q = _MP.Queue(maxsize=self.max_out_qsize)
+        self._id_q = _MP.Queue(maxsize=num_workers)
         self._workers: Optional[List[multiprocessing.Process]] = None
+
+    def __getstate__(self):
+        # workers receive a pickled copy of self (forkserver/spawn start);
+        # live Process handles are parent-only state
+        state = self.__dict__.copy()
+        state["_workers"] = None
+        return state
 
     # -- database scan -------------------------------------------------------
 
@@ -153,13 +179,13 @@ class DatasetReader:
     def startup(self) -> None:
         for i in range(self.nb_workers):
             self._id_q.put(i)
-        self._workers = [
-            multiprocessing.Process(target=self._worker_main)
-            for _ in range(self.nb_workers)
-        ]
-        for w in self._workers:
+        workers = []
+        for _ in range(self.nb_workers):
+            w = _MP.Process(target=self._worker_main)
             w.daemon = True
             w.start()
+            workers.append(w)
+        self._workers = workers
 
     def shutdown(self) -> None:
         if self._workers is None:
@@ -208,7 +234,6 @@ class DatasetReader:
                 f"{self.image_size}. Found {list(img.shape)}.")
 
         if self.raw_mode:
-            from yolov3_tpu.data.device_pipeline import pad_boxes
             padded, valid = pad_boxes(boxes.astype(np.float32))
             # keep the source dtype: uint8 pixels cost 4x less through the
             # worker queue and the host->device transfer; the device
