@@ -18,6 +18,7 @@
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <string_view>
 #include <unordered_map>
 #include <vector>
 
@@ -43,7 +44,9 @@ struct Reader {
   const uint8_t* map = nullptr;
   size_t map_len = 0;
   std::vector<std::pair<const uint8_t*, uint32_t>> keys;  // insertion order
-  std::unordered_map<std::string, Entry> table;
+  // keys view into the mmap'd data log (live as long as the Reader), so
+  // lookups never allocate
+  std::unordered_map<std::string_view, Entry> table;
 };
 
 struct Writer {
@@ -80,7 +83,6 @@ bool load_index(Reader* r, const std::string& idx_path) {
     std::memcpy(&klen, blob.data() + pos, 4);
     pos += 4;
     if (pos + klen + 16 > blob.size()) return false;
-    std::string key((const char*)blob.data() + pos, klen);
     pos += klen;
     Entry e;
     std::memcpy(&e.offset, blob.data() + pos, 8);
@@ -88,10 +90,10 @@ bool load_index(Reader* r, const std::string& idx_path) {
     pos += 16;
     if (e.offset + e.length > r->map_len) return false;  // stale
     // key pointer aims into the mapped data log (klen bytes precede the
-    // value at offset)
+    // value at offset); the map key views the same mmap bytes
     const uint8_t* kptr = r->map + e.offset - klen;
     r->keys.emplace_back(kptr, klen);
-    r->table.emplace(std::move(key), e);
+    r->table.emplace(std::string_view((const char*)kptr, klen), e);
   }
   return true;
 }
@@ -110,7 +112,7 @@ void scan_log(Reader* r) {
     pos += klen;
     Entry e{(uint64_t)pos, vlen};
     r->keys.emplace_back(kptr, klen);
-    r->table.emplace(std::string((const char*)kptr, klen), e);
+    r->table.emplace(std::string_view((const char*)kptr, klen), e);
     pos += vlen;
   }
 }
@@ -172,11 +174,46 @@ int ydb_reader_key(void* h, uint64_t i, const char** key, uint32_t* klen) {
 int ydb_reader_get(void* h, const char* key, uint32_t klen, const char** val,
                    uint64_t* vlen) {
   auto* r = (Reader*)h;
-  auto it = r->table.find(std::string(key, klen));
+  auto it = r->table.find(std::string_view(key, klen));
   if (it == r->table.end()) return -1;
   *val = (const char*)(r->map + it->second.offset);
   *vlen = it->second.length;
   return 0;
+}
+
+// Expose the data-log mapping so bindings can serve zero-copy slices of ONE
+// long-lived buffer (per-result pointer wrapping in Python costs more than
+// the lookup itself).
+void ydb_reader_map(void* h, const char** base, uint64_t* len) {
+  auto* r = (Reader*)h;
+  *base = (const char*)r->map;
+  *len = r->map_len;
+}
+
+// Batched lookup amortizing the FFI call: `keys` is the concatenation of n
+// key byte strings whose lengths are in `klens`. For each key i, offsets[i]
+// receives the value offset into the data-log mapping (0 = missing; real
+// values always sit past the file header) and vlens[i] its length.
+// Returns the number of keys found.
+uint64_t ydb_reader_get_batch(void* h, const char* keys,
+                              const uint32_t* klens, uint64_t n,
+                              uint64_t* offsets, uint64_t* vlens) {
+  auto* r = (Reader*)h;
+  uint64_t found = 0;
+  const char* kp = keys;
+  for (uint64_t i = 0; i < n; ++i) {
+    auto it = r->table.find(std::string_view(kp, klens[i]));
+    kp += klens[i];
+    if (it == r->table.end()) {
+      offsets[i] = 0;
+      vlens[i] = 0;
+    } else {
+      offsets[i] = it->second.offset;
+      vlens[i] = it->second.length;
+      ++found;
+    }
+  }
+  return found;
 }
 
 void ydb_reader_close(void* h) {

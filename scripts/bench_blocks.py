@@ -55,21 +55,26 @@ def main(argv=None):
             dimension_numbers=dn)
 
     def bench(name, step, x0, gflops_per_step=None):
-        """step: x -> x (shape/dtype preserving), chained inner times."""
+        """step: x -> x (shape/dtype preserving), chained inner times.
+
+        Timed by jax.device_get of a tiny end-of-program slice — the only
+        reliable completion signal through the remote tunnel (CLAUDE.md
+        measurement gotcha; block_until_ready returns early on repeat calls).
+        """
         if args.only and name not in args.only.split(","):
             return
 
         @jax.jit
         def run(x):
-            return jax.lax.fori_loop(0, args.inner, lambda i, a: step(a), x)
+            y = jax.lax.fori_loop(0, args.inner, lambda i, a: step(a), x)
+            return jnp.ravel(y)[:4].astype(jnp.float32)
 
         x = jnp.asarray(x0)
-        jax.block_until_ready(run(x))
+        jax.device_get(run(x))
         best = float("inf")
         for _ in range(args.outer):
             t0 = time.perf_counter()
-            out = run(x)
-            jax.block_until_ready(out)
+            jax.device_get(run(x))
             best = min(best, time.perf_counter() - t0)
         ms = best / args.inner * 1e3
         results[name] = ms

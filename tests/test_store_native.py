@@ -80,3 +80,38 @@ class TestOpenReaderPrefersNative:
         r = open_reader(db)
         assert isinstance(r, native.NativeRecordReader)
         r.close()
+
+
+class TestGetBatch:
+    def _make_db(self, tmp_path, n=32):
+        db = str(tmp_path / "b.ydb")
+        rng = np.random.RandomState(1)
+        payloads = {f"k{i}:0".encode(): rng.bytes(1000 + i) for i in range(n)}
+        with RecordWriter(db) as w:
+            for k, v in payloads.items():
+                w.put(k, v)
+        return db, payloads
+
+    def test_native_matches_python(self, tmp_path):
+        db, payloads = self._make_db(tmp_path)
+        keys = list(payloads)[::3] + [b"missing:9"]
+        with native.NativeRecordReader(db) as rn, RecordReader(db) as rp:
+            got_n = rn.get_batch(keys)
+            got_p = rp.get_batch(keys)
+            for k, a, b in zip(keys, got_n, got_p):
+                if k == b"missing:9":
+                    assert a is None and b is None
+                else:
+                    assert bytes(a) == bytes(b) == payloads[k]
+
+    def test_empty_batch(self, tmp_path):
+        db, _ = self._make_db(tmp_path, n=2)
+        with native.NativeRecordReader(db) as r:
+            assert r.get_batch([]) == []
+
+    def test_str_keys_accepted(self, tmp_path):
+        db, payloads = self._make_db(tmp_path, n=4)
+        with native.NativeRecordReader(db) as r:
+            out = r.get_batch(["k1:0", "k3:0"])
+            assert bytes(out[0]) == payloads[b"k1:0"]
+            assert bytes(out[1]) == payloads[b"k3:0"]

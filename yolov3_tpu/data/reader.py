@@ -224,10 +224,12 @@ class DatasetReader:
 
     # -- worker ---------------------------------------------------------------
 
-    def _load_example(self, reader, key: bytes,
+    def _load_example(self, rec, key: bytes,
                       rng_np: np.random.RandomState,
                       rng: random.Random) -> Example:
-        img, boxes = records.decode_record(reader.get(key))
+        if rec is None:
+            raise KeyError(f"record missing from database: {key!r}")
+        img, boxes = records.decode_record(rec)
         if list(img.shape) != list(self.image_size):
             raise RuntimeError(
                 f"Unexpected image shape from database. Expected "
@@ -275,14 +277,22 @@ class DatasetReader:
         rng_np = np.random.RandomState(seed)
         try:
             reader = open_reader(self.image_db)
-            while True:
-                try:
-                    if self._terminate_q.get_nowait() is None:
-                        break
-                except queue.Empty:
-                    pass
-                key = self._next_key(rng)
-                self._out_q.put(self._load_example(reader, key, rng_np, rng))
+            # fetch several records per store round-trip: the native
+            # engine's batched C call amortizes the FFI overhead that
+            # dominated per-get cost (DESIGN.md store benchmarks)
+            chunk = 16
+            terminated = False
+            while not terminated:
+                keys = [self._next_key(rng) for _ in range(chunk)]
+                recs = reader.get_batch(keys)
+                for key, rec in zip(keys, recs):
+                    try:
+                        if self._terminate_q.get_nowait() is None:
+                            terminated = True
+                            break
+                    except queue.Empty:
+                        pass
+                    self._out_q.put(self._load_example(rec, key, rng_np, rng))
         except Exception as e:
             print("***************** Reader Error *****************")
             print(e)

@@ -166,6 +166,10 @@ class RecordReader:
         off, vlen = ent
         return memoryview(self._mm)[off:off + vlen]
 
+    def get_batch(self, keys) -> List[Optional[memoryview]]:
+        """Interface parity with NativeRecordReader.get_batch."""
+        return [self.get(k) for k in keys]
+
     def __contains__(self, key: bytes) -> bool:
         if isinstance(key, str):
             key = key.encode("ascii")

@@ -9,7 +9,9 @@ from __future__ import annotations
 
 import ctypes
 import os
-from typing import List, Optional
+import numpy as np
+
+from typing import List, Optional, Sequence
 
 _LIB = None
 _LIB_TRIED = False
@@ -42,6 +44,15 @@ def _load():
     lib.ydb_reader_get.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32,
         ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_uint64)]
+    lib.ydb_reader_map.restype = None
+    lib.ydb_reader_map.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_uint64)]
+    lib.ydb_reader_get_batch.restype = ctypes.c_uint64
+    lib.ydb_reader_get_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64)]
     lib.ydb_reader_close.restype = None
     lib.ydb_reader_close.argtypes = [ctypes.c_void_p]
     lib.ydb_writer_open.restype = ctypes.c_void_p
@@ -75,6 +86,13 @@ class NativeRecordReader:
         self._h = lib.ydb_reader_open(db_path.encode())
         if not self._h:
             raise ValueError(f"Not a YDB database: {db_path}")
+        # one long-lived zero-copy view over the whole data-log mapping;
+        # get/get_batch serve cheap slices of it
+        base = ctypes.c_void_p()
+        mlen = ctypes.c_uint64()
+        lib.ydb_reader_map(self._h, ctypes.byref(base), ctypes.byref(mlen))
+        self._map_view = memoryview(
+            (ctypes.c_char * mlen.value).from_address(base.value))
 
     def __len__(self) -> int:
         return int(self._lib.ydb_reader_count(self._h))
@@ -100,6 +118,30 @@ class NativeRecordReader:
             return None
         buf = (ctypes.c_char * vl.value).from_address(vp.value)
         return memoryview(buf)  # zero-copy view into the C++ mmap
+
+    def get_batch(self, keys: Sequence[bytes]) -> List[Optional[memoryview]]:
+        """Look up many keys in ONE FFI call.
+
+        The per-call ctypes overhead dominated single gets (DESIGN.md store
+        benchmarks); here the C engine fills offset/length arrays and Python
+        only slices the cached whole-map view per result.
+        """
+        n = len(keys)
+        if n == 0:
+            return []
+        keys = [k.encode("ascii") if isinstance(k, str) else k for k in keys]
+        concat = b"".join(keys)
+        klens = np.fromiter((len(k) for k in keys), np.uint32, count=n)
+        offs = np.empty(n, np.uint64)
+        vlens = np.empty(n, np.uint64)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        self._lib.ydb_reader_get_batch(
+            self._h, concat, klens.ctypes.data_as(u32p), n,
+            offs.ctypes.data_as(u64p), vlens.ctypes.data_as(u64p))
+        mv = self._map_view
+        return [mv[o:o + l] if o else None
+                for o, l in zip(offs.tolist(), vlens.tolist())]
 
     def __contains__(self, key: bytes) -> bool:
         return self.get(key) is not None
