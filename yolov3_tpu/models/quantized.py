@@ -1,0 +1,337 @@
+"""Post-training-quantized (int8) serving path.
+
+v5e doubles its MXU rate at int8 (394 TOPS vs ~197 TFLOPs bf16), and the
+bf16 roofline for this network (~96.5 GFLOPs/img) caps out near 2000 img/s
+at 512^2 — int8 is the only route to the 4000 img/s BASELINE.md target.
+
+This module is a serving-only pure-function mirror of the Flax model's
+wiring (`models/yolo.py`, itself a rebuild of reference/model.py:356-421):
+it consumes the SAME variable tree the trainer exports and runs in one of
+three modes sharing one code path:
+
+- bf16   : reference math — must match `YoloV3.apply` exactly
+           (tests/test_quantized.py uses this as the wiring oracle)
+- collect: bf16 math while recording each conv input's absmax
+           (activation-scale calibration)
+- int8   : symmetric per-output-channel weight scales + per-tensor
+           activation scales; int8 x int8 -> int32 convs on the MXU with
+           dequant + bias + LeakyReLU + affine BN fused into the epilogue
+
+Quantization choices:
+- weights: per-output-channel symmetric, s_w[o] = max|W[..,o]| / 127,
+  computed from the f32 checkpoint weights at trace time (XLA constant-
+  folds the rounding at compile time).
+- activations: per-tensor symmetric from a calibration batch's absmax.
+- detection heads and box decode stay in bf16/f32 (accuracy-critical,
+  negligible FLOPs).
+- the space-to-depth stem region quantizes its REARRANGED kernels (the
+  rearrangement is tap shuffling + zeros, so per-channel scales apply to
+  the tiled output channels directly).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolov3_tpu.config import InferenceConfig, ModelConfig
+from yolov3_tpu.models import yolo as Y
+from yolov3_tpu.ops.decode import decode_detections
+
+Array = Any
+
+
+def _quantize_weight(w: Array) -> Tuple[Array, Array]:
+    """f32 [kh,kw,ci,co] -> (int8 kernel, per-out-channel scale [co])."""
+    w = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w), axis=(0, 1, 2))
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    wq = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return wq, scale
+
+
+def _quantize_act(x: Array, scale: Array) -> Array:
+    xq = jnp.round(x.astype(jnp.float32) / scale)
+    return jnp.clip(xq, -127, 127).astype(jnp.int8)
+
+
+_DN = jax.lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
+                                     ("NHWC", "HWIO", "NHWC"))
+
+
+# Conv blocks that stay bf16 in the int8 path by default: the space-to-depth
+# stem region is lane/memory-bound, not MXU-bound — measured on v5e, int8
+# made its convs SLOWER (stem1 2.53 ms int8 vs 1.31 bf16: tiny contraction
+# K plus a quantize pass over a 256^2-resolution tensor).
+DEFAULT_QUANT_SKIP: Tuple[str, ...] = (
+    "Darknet53_0/ConvBlock_0",   # stem1 (blocked domain, K = 9 x 12)
+    "Darknet53_0/ConvBlock_1",   # stem2 "stays" conv
+)
+
+
+class _Ctx:
+    """Mode carrier: act_scales for int8, collect dict for calibration."""
+
+    def __init__(self, cfg: ModelConfig,
+                 act_scales: Optional[Dict[str, float]] = None,
+                 collect: Optional[Dict[str, Array]] = None,
+                 quant_skip: Sequence[str] = DEFAULT_QUANT_SKIP):
+        self.cfg = cfg
+        self.act_scales = act_scales
+        self.collect = collect
+        self.dtype = cfg.dtype
+        self.quant_skip = frozenset(quant_skip)
+
+    @property
+    def int8(self) -> bool:
+        return self.act_scales is not None
+
+
+def _conv(ctx: _Ctx, name: str, x: Array, w: Array, stride, padding) -> Array:
+    """One convolution in the ctx's mode; returns f32-accumulated output."""
+    strides = (stride, stride) if isinstance(stride, int) else stride
+    if ctx.collect is not None:
+        ctx.collect[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    if ctx.int8 and name not in ctx.quant_skip:
+        if name not in ctx.act_scales:
+            raise KeyError(f"no activation scale calibrated for {name}")
+        sx = jnp.float32(ctx.act_scales[name])
+        wq, sw = _quantize_weight(w)
+        y = jax.lax.conv_general_dilated(
+            _quantize_act(x, sx), wq, strides, padding,
+            dimension_numbers=_DN, preferred_element_type=jnp.int32)
+        return y.astype(jnp.float32) * (sx * sw)
+    return jax.lax.conv_general_dilated(
+        x.astype(ctx.dtype), w.astype(ctx.dtype), strides, padding,
+        dimension_numbers=_DN).astype(jnp.float32)
+
+
+def _conv_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
+                stride: int = 1, kernel_override: Optional[Array] = None,
+                padding="SAME", out_tile: int = 1) -> Array:
+    """Conv -> LeakyReLU -> affine BN (inference), any mode.
+
+    `out_tile` > 1 serves the space-to-depth region, whose block-tiled
+    channels share the untiled BN/bias parameters (models/yolo.py
+    `_s2d_batchnorm`).
+    """
+    cfg = ctx.cfg
+    w = p["Conv_0"]["kernel"] if kernel_override is None else kernel_override
+    b = p["Conv_0"]["bias"].astype(jnp.float32)
+    scale = p["BatchNorm_0"]["scale"].astype(jnp.float32)
+    offset = p["BatchNorm_0"]["bias"].astype(jnp.float32)
+    mean = bs["BatchNorm_0"]["mean"].astype(jnp.float32)
+    var = bs["BatchNorm_0"]["var"].astype(jnp.float32)
+    if out_tile > 1:
+        b, scale, offset, mean, var = (jnp.tile(v, out_tile)
+                                       for v in (b, scale, offset, mean, var))
+    y = _conv(ctx, name, x, w, stride, padding) + b
+    y = jnp.where(y >= 0, y, cfg.leaky_relu_alpha * y)
+    inv = jax.lax.rsqrt(var + cfg.bn_epsilon) * scale
+    return ((y - mean) * inv + offset).astype(ctx.dtype)
+
+
+def _feature_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
+                   reps: int) -> Array:
+    if reps == 0:  # zero-rep blocks create no params (e.g. block_count=1)
+        return x
+    inputs = x
+    for r in range(reps):
+        y = _conv_block(ctx, f"{name}/ConvBlock_{2 * r}",
+                        p[f"ConvBlock_{2 * r}"], bs[f"ConvBlock_{2 * r}"], x)
+        y = _conv_block(ctx, f"{name}/ConvBlock_{2 * r + 1}",
+                        p[f"ConvBlock_{2 * r + 1}"],
+                        bs[f"ConvBlock_{2 * r + 1}"], y)
+        x = inputs + y  # residual adds the block input (reference/model.py:47)
+    return x
+
+
+def _yolo_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
+                ) -> Tuple[Array, Array]:
+    for i in range(5):
+        x = _conv_block(ctx, f"{name}/ConvBlock_{i}", p[f"ConvBlock_{i}"],
+                        bs[f"ConvBlock_{i}"], x)
+    route = x
+    x = _conv_block(ctx, f"{name}/ConvBlock_5", p["ConvBlock_5"],
+                    bs["ConvBlock_5"], x)
+    return route, x
+
+
+def _s2d_region(ctx: _Ctx, p: dict, bs: dict, x: Array) -> Array:
+    """Mirror of `_s2d_region_apply` (inference path) in any mode."""
+    d = "Darknet53_0"
+    xs = Y.space_to_depth(x.astype(ctx.dtype))
+    k1 = Y._s2d_kernel_stride1(p[d]["ConvBlock_0"]["Conv_0"]["kernel"])
+    y = _conv_block(ctx, f"{d}/ConvBlock_0", p[d]["ConvBlock_0"],
+                    bs[d]["ConvBlock_0"], xs, kernel_override=k1,
+                    padding=((1, 1), (1, 1)), out_tile=4)
+    k2 = Y._s2d_kernel_stride2_stay(p[d]["ConvBlock_1"]["Conv_0"]["kernel"])
+    y = _conv_block(ctx, f"{d}/ConvBlock_1", p[d]["ConvBlock_1"],
+                    bs[d]["ConvBlock_1"], y, stride=2, kernel_override=k2,
+                    padding=((0, 1), (0, 1)), out_tile=4)
+    inputs = y
+    fb = f"{d}/FeatureBlock_0"
+    kf1 = Y._s2d_kernel_1x1(
+        p[d]["FeatureBlock_0"]["ConvBlock_0"]["Conv_0"]["kernel"])
+    z = _conv_block(ctx, f"{fb}/ConvBlock_0",
+                    p[d]["FeatureBlock_0"]["ConvBlock_0"],
+                    bs[d]["FeatureBlock_0"]["ConvBlock_0"], y,
+                    kernel_override=kf1, padding=((0, 0), (0, 0)), out_tile=4)
+    kf2 = Y._s2d_kernel_stride1(
+        p[d]["FeatureBlock_0"]["ConvBlock_1"]["Conv_0"]["kernel"])
+    z = _conv_block(ctx, f"{fb}/ConvBlock_1",
+                    p[d]["FeatureBlock_0"]["ConvBlock_1"],
+                    bs[d]["FeatureBlock_0"]["ConvBlock_1"], z,
+                    kernel_override=kf2, padding=((1, 1), (1, 1)), out_tile=4)
+    y = inputs + z
+    k3 = Y._s2d_kernel_stride2_exit(p[d]["ConvBlock_2"]["Conv_0"]["kernel"])
+    return _conv_block(ctx, f"{d}/ConvBlock_2", p[d]["ConvBlock_2"],
+                       bs[d]["ConvBlock_2"], y, kernel_override=k3,
+                       padding=((0, 1), (0, 1)), out_tile=1)
+
+
+def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
+                         x: Array,
+                         act_scales: Optional[Dict[str, float]] = None,
+                         collect: Optional[Dict[str, Array]] = None,
+                         quant_skip: Sequence[str] = DEFAULT_QUANT_SKIP,
+                         ) -> Tuple[Array, Array, Array]:
+    """Inference feature maps, mirroring `YoloV3.apply(..., train=False)`.
+
+    x is NHWC float32 (already z-scored). Mode per (act_scales, collect);
+    `quant_skip` names conv blocks kept bf16 in int8 mode.
+    """
+    ctx = _Ctx(cfg, act_scales, collect, quant_skip)
+    p, bs = params, batch_stats
+    d = "Darknet53_0"
+    bc = cfg.block_count
+    fc = cfg.filter_count
+
+    if cfg.stem_space_to_depth:
+        y = _s2d_region(ctx, p, bs, x)
+    else:
+        y = _conv_block(ctx, f"{d}/ConvBlock_0", p[d]["ConvBlock_0"],
+                        bs[d]["ConvBlock_0"], x.astype(ctx.dtype))
+        y = _conv_block(ctx, f"{d}/ConvBlock_1", p[d]["ConvBlock_1"],
+                        bs[d]["ConvBlock_1"], y, stride=2)
+        y = _feature_block(ctx, f"{d}/FeatureBlock_0",
+                           p[d]["FeatureBlock_0"], bs[d]["FeatureBlock_0"],
+                           y, 1)
+        y = _conv_block(ctx, f"{d}/ConvBlock_2", p[d]["ConvBlock_2"],
+                        bs[d]["ConvBlock_2"], y, stride=2)
+    y = _feature_block(ctx, f"{d}/FeatureBlock_1", p[d]["FeatureBlock_1"],
+                       bs[d]["FeatureBlock_1"], y, 2)
+    y = _conv_block(ctx, f"{d}/ConvBlock_3", p[d]["ConvBlock_3"],
+                    bs[d]["ConvBlock_3"], y, stride=2)
+    y = _feature_block(ctx, f"{d}/FeatureBlock_2", p[d]["FeatureBlock_2"],
+                       bs[d]["FeatureBlock_2"], y, bc)
+    route_s8 = y
+    y = _conv_block(ctx, f"{d}/ConvBlock_4", p[d]["ConvBlock_4"],
+                    bs[d]["ConvBlock_4"], y, stride=2)
+    y = _feature_block(ctx, f"{d}/FeatureBlock_3", p[d]["FeatureBlock_3"],
+                       bs[d]["FeatureBlock_3"], y, bc)
+    route_s16 = y
+    y = _conv_block(ctx, f"{d}/ConvBlock_5", p[d]["ConvBlock_5"],
+                    bs[d]["ConvBlock_5"], y, stride=2)
+    y = _feature_block(ctx, f"{d}/FeatureBlock_4",
+                       p[d].get("FeatureBlock_4", {}),
+                       bs[d].get("FeatureBlock_4", {}), y, bc // 2)
+    route_s32 = y
+
+    def head(name: str, h: Array) -> Array:
+        w = p[name]["Conv_0"]["kernel"].astype(ctx.dtype)
+        b = p[name]["Conv_0"]["bias"].astype(ctx.dtype)
+        return jax.lax.conv_general_dilated(
+            h, w, (1, 1), "SAME", dimension_numbers=_DN) + b
+
+    up = lambda t: Y.upsample_2x(t, channel_sum=cfg.upsample_channel_sum)
+    route, yb = _yolo_block(ctx, "YoloBlock_0", p["YoloBlock_0"],
+                            bs["YoloBlock_0"], route_s32)
+    fm1 = head("DetectionHead_0", yb)
+    y = _conv_block(ctx, "ConvBlock_0", p["ConvBlock_0"], bs["ConvBlock_0"],
+                    route)
+    y = jnp.concatenate([up(y), route_s16], axis=-1)
+    route, yb = _yolo_block(ctx, "YoloBlock_1", p["YoloBlock_1"],
+                            bs["YoloBlock_1"], y)
+    fm2 = head("DetectionHead_1", yb)
+    y = _conv_block(ctx, "ConvBlock_1", p["ConvBlock_1"], bs["ConvBlock_1"],
+                    route)
+    y = jnp.concatenate([up(y), route_s8], axis=-1)
+    _, yb = _yolo_block(ctx, "YoloBlock_2", p["YoloBlock_2"],
+                        bs["YoloBlock_2"], y)
+    fm3 = head("DetectionHead_2", yb)
+    return fm1, fm2, fm3
+
+
+def calibrate(params: dict, batch_stats: dict, cfg: ModelConfig,
+              images: Array) -> Dict[str, float]:
+    """Per-tensor activation scales from one calibration batch's absmax."""
+    collect: Dict[str, Array] = {}
+
+    @jax.jit
+    def run(x):
+        forward_feature_maps(params, batch_stats, cfg, x, collect=collect)
+        return dict(collect)
+
+    maxima = jax.device_get(run(jnp.asarray(images)))
+    return {k: max(float(v), 1e-12) / 127.0 for k, v in maxima.items()}
+
+
+def make_quantized_serving_fn(saved_model_filepath: str,
+                              calib_images: Array,
+                              icfg: Optional[InferenceConfig] = None,
+                              min_box_size: Optional[int] = None):
+    """int8 twin of `inference.make_serving_fn`: ONE jitted program from
+    z-scored images to (boxes, scores, keep) — int8 backbone/neck convs,
+    bf16 heads, f32 decode, device NMS.
+
+    `calib_images`: a representative (z-scored, NHWC f32) batch for
+    activation-scale calibration.
+    """
+    from yolov3_tpu.ops.nms import batched_nms_device
+    from yolov3_tpu.utils import checkpoint as ckpt
+
+    icfg = icfg or InferenceConfig()
+    if min_box_size is None:
+        min_box_size = icfg.min_box_size
+    params, batch_stats, cfg = ckpt.load_model(saved_model_filepath)
+    scales = calibrate(params, batch_stats, cfg, calib_images)
+    img_h, img_w = cfg.img_size[0], cfg.img_size[1]
+
+    @jax.jit
+    def serve(images: Array):
+        fms = forward_feature_maps(params, batch_stats, cfg, images,
+                                   act_scales=scales)
+        det = decode_detections(fms, cfg.anchors, cfg.number_classes,
+                                cfg.strides)
+        clipped = jnp.concatenate([
+            jnp.clip(det[..., 0:1], 0, img_w),
+            jnp.clip(det[..., 1:2], 0, img_h),
+            jnp.clip(det[..., 2:3], 0, img_w),
+            jnp.clip(det[..., 3:4], 0, img_h),
+            det[..., 4:],
+        ], axis=-1)
+        return batched_nms_device(clipped, cfg.number_classes,
+                                  iou_threshold=icfg.iou_threshold,
+                                  score_threshold=icfg.score_threshold,
+                                  max_boxes=icfg.max_boxes_per_class,
+                                  min_box_size=float(min_box_size))
+
+    return serve, cfg, scales
+
+
+def decode_iou_fidelity(det_a: np.ndarray, det_b: np.ndarray,
+                        top_k: int = 20) -> float:
+    """Mean IoU between the two paths' top-K objectness-ranked boxes —
+    the quantized path's quality guard (BASELINE.md decode fidelity)."""
+    from yolov3_tpu.ops.boxes import compute_iou
+
+    ious = []
+    for a, b in zip(det_a, det_b):
+        idx = np.argsort(-a[:, 4])[:top_k]
+        for i in idx:
+            ious.append(float(compute_iou(a[i, 0:4], b[i:i + 1, 0:4])[0]))
+    return float(np.mean(ious))
