@@ -312,7 +312,22 @@ class DatasetReader:
         if self.queue_starvation and qsize > int(0.5 * self.max_out_qsize):
             print("Input Queue Starvation Over")
             self.queue_starvation = False
-        return self._out_q.get()
+        while True:
+            try:
+                return self._out_q.get(timeout=5.0)
+            except queue.Empty:
+                # workers that die in process bootstrap (e.g. an unguarded
+                # __main__ under the spawn/forkserver start method) never
+                # post their None sentinel — fail loudly instead of
+                # blocking the training loop forever
+                if self._workers and all(not w.is_alive()
+                                         for w in self._workers):
+                    raise RuntimeError(
+                        "All reader worker processes died without producing "
+                        "data. If they crashed at startup, ensure the "
+                        "launching script guards its entry point with "
+                        "`if __name__ == '__main__':` (required by the "
+                        "spawn/forkserver start method).")
 
     def generator(self) -> Iterator[Example]:
         while True:
