@@ -136,8 +136,9 @@ def main(argv=None):
 
         total = sum(durs.values()) / 3 / 1e3
         print(f"\nint8 device total: {total:.2f} ms/step")
-        for name, d in durs.most_common(35):
-            print(f"{d / 3 / 1e3:8.2f} ms/step  {layer_of(name)[:110]}")
+        for name, d in durs.most_common(45):
+            print(f"{d / 3 / 1e3:8.2f} ms/step  {name[:60]:60s} "
+                  f"{layer_of(name)[:90]}")
 
 
 if __name__ == "__main__":

@@ -100,6 +100,9 @@ def _conv(ctx: _Ctx, name: str, x: Array, w: Array, stride, padding) -> Array:
             raise KeyError(f"no activation scale calibrated for {name}")
         sx = jnp.float32(ctx.act_scales[name])
         wq, sw = _quantize_weight(w)
+        # NOTE(measured, v5e b32): lowering 1x1 convs to reshape+dot_general
+        # REGRESSES the full model 17.8 -> 23.8 ms — the reshape on the
+        # packed int8 layout forces relayout copies. Keep the conv form.
         y = jax.lax.conv_general_dilated(
             _quantize_act(x, sx), wq, strides, padding,
             dimension_numbers=_DN, preferred_element_type=jnp.int32)
