@@ -18,6 +18,8 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--img", type=int, default=512)
     p.add_argument("--iters", type=int, default=30)
+    p.add_argument("--only", default="",
+                   help="comma-separated variant names to run (default all)")
     args = p.parse_args(argv)
 
     import jax
@@ -75,13 +77,27 @@ def main(argv=None):
 
     mirror_int8 = make_int8(Q.DEFAULT_QUANT_SKIP)
     mirror_int8_all = make_int8(())
+
+    @jax.jit
+    def mirror_int8_fused(images):
+        fms = Q.forward_feature_maps(params, bs, cfg, images,
+                                     act_scales=scales,
+                                     quant_skip=Q.DEFAULT_QUANT_SKIP,
+                                     fused_blocks=True)
+        return decode_detections(fms, cfg.anchors, cfg.number_classes,
+                                 cfg.strides)
+
     S2D_ALL = ("Darknet53_0/ConvBlock_0", "Darknet53_0/ConvBlock_1",
                "Darknet53_0/FeatureBlock_0/ConvBlock_0",
                "Darknet53_0/FeatureBlock_0/ConvBlock_1",
                "Darknet53_0/ConvBlock_2")
     mirror_int8_deep_only = make_int8(S2D_ALL)
 
+    only = set(filter(None, args.only.split(",")))
+
     def bench(name, fn):
+        if only and name not in only:
+            return
         print(f"compiling {name}...", flush=True)
         jax.device_get(fn(x)[0, 0, :2])
         t0 = time.perf_counter()
@@ -97,6 +113,7 @@ def main(argv=None):
     bench("int8_all", mirror_int8_all)
     bench("int8_skip_stems", mirror_int8)
     bench("int8_deep_only", mirror_int8_deep_only)
+    bench("int8_fused", mirror_int8_fused)
 
     if os.environ.get("PROFILE_INT8"):
         import collections
@@ -106,11 +123,14 @@ def main(argv=None):
         import re
         import tempfile
 
+        prof_fn = {"int8_fused": mirror_int8_fused,
+                   "int8_all": mirror_int8_all,
+                   }.get(os.environ.get("PROFILE_VARIANT", ""), mirror_int8)
         trace_dir = tempfile.mkdtemp(prefix="int8_prof_")
         jax.profiler.start_trace(trace_dir)
         out = None
         for _ in range(3):
-            out = mirror_int8(x)
+            out = prof_fn(x)
         jax.device_get(out[0, 0, :2])
         jax.profiler.stop_trace()
         traces = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
@@ -118,27 +138,37 @@ def main(argv=None):
         with gzip.open(traces[-1]) as fh:
             trace = json.load(fh)
         durs = collections.Counter()
+        host_markers = ("np.", "PjitFunction", "DevicePut", "jit(", "jit_",
+                        "block_until", "$", "Thunk", "TransferTo")
         for e in trace.get("traceEvents", []):
             name = e.get("name", "")
-            if (e.get("ph") == "X" and "dur" in e and not name.startswith("$")
-                    and not name.startswith("jit_")
-                    and "block_until" not in name):
+            if (e.get("ph") == "X" and "dur" in e
+                    and not any(m in name for m in host_markers)):
                 durs[name] += e["dur"]
-        hlo = mirror_int8.lower(x).compile().as_text()
+        hlo = prof_fn.lower(x).compile().as_text()
 
-        def layer_of(fusion_name):
-            m = re.search(r"%" + re.escape(fusion_name)
-                          + r" = (\S+) fusion.*?op_name=\"([^\"]*)\"", hlo)
-            if not m:
-                return "?"
-            return m.group(1)[:40] + " " + "/".join(
-                m.group(2).split("/")[-3:])
+        info = {}  # fusion name -> (shape, layer op_name)
+        head = re.compile(r"%(\S+) = (\S+) (?:[a-z\-]*fusion|copy|"
+                          r"convolution)\(")
+        op_re = re.compile(r"op_name=\"([^\"]*)\"")
+        for line in hlo.splitlines():
+            m = head.search(line)
+            if m:
+                op = op_re.search(line)
+                info[m.group(1)] = (m.group(2), op.group(1) if op else "?")
 
         total = sum(durs.values()) / 3 / 1e3
         print(f"\nint8 device total: {total:.2f} ms/step")
-        for name, d in durs.most_common(45):
-            print(f"{d / 3 / 1e3:8.2f} ms/step  {name[:60]:60s} "
-                  f"{layer_of(name)[:90]}")
+        by_layer = collections.Counter()
+        shape_of = {}
+        for name, d in durs.items():
+            shape, layer = info.get(name, ("?", name))
+            key = "/".join(layer.split("/")[-4:]) if layer != "?" else name
+            by_layer[key] += d
+            shape_of[key] = shape
+        for key, d in by_layer.most_common(70):
+            print(f"{d / 3 / 1e3:8.3f} ms/step  {shape_of.get(key, '?')[:44]:44s}"
+                  f" {key[:80]}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,139 @@
+"""Fused feature-block Pallas kernel vs the quantized-mirror oracle.
+
+The kernel (`ops/pallas/feature_block_kernel.py`) runs a whole
+FeatureBlock — every rep's 1x1 + 3x3 conv blocks and the
+original-input residual (reference/model.py:41-48) — VMEM-resident.
+int8 mode must match `models/quantized.py::_feature_block` exactly
+(same rounding sequence: bf16 cast before each quantize); bf16 mode
+within bf16 resolution (tap-sum accumulation order differs from XLA's
+conv emitter).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolov3_tpu.config import ModelConfig
+from yolov3_tpu.models import quantized as Q
+from yolov3_tpu.ops.pallas.feature_block_kernel import fused_feature_block
+
+CFG = ModelConfig(img_size=(64, 64, 3), number_classes=2)
+
+
+def make_block(rng, c, reps):
+    p, bs = {}, {}
+    for r in range(reps):
+        for idx, (kh, ci, co) in ((2 * r, (1, c, c // 2)),
+                                  (2 * r + 1, (3, c // 2, c))):
+            p[f"ConvBlock_{idx}"] = {
+                "Conv_0": {
+                    "kernel": jnp.asarray(
+                        rng.randn(kh, kh, ci, co).astype(np.float32) * 0.2),
+                    "bias": jnp.asarray(
+                        rng.randn(co).astype(np.float32) * 0.1),
+                },
+                "BatchNorm_0": {
+                    "scale": jnp.asarray(
+                        1.0 + 0.1 * rng.randn(co).astype(np.float32)),
+                    "bias": jnp.asarray(
+                        rng.randn(co).astype(np.float32) * 0.1),
+                },
+            }
+            bs[f"ConvBlock_{idx}"] = {"BatchNorm_0": {
+                "mean": jnp.asarray(rng.randn(co).astype(np.float32) * 0.1),
+                "var": jnp.asarray(
+                    (1.0 + 0.2 * rng.rand(co)).astype(np.float32)),
+            }}
+    return p, bs
+
+
+def calibrated(p, bs, x, reps):
+    collect = {}
+    Q._feature_block(Q._Ctx(CFG, collect=collect), "FB", p, bs, x, reps)
+    return {k: max(float(v), 1e-12) / 127.0 for k, v in collect.items()}
+
+
+def assert_quant_faithful(got, ref):
+    """Wiring-exact up to borderline round() flips: XLA fuses the f32
+    epilogues differently than the kernel (FMA contraction), which can
+    flip values sitting exactly on a .5 quantization boundary. A wiring
+    BUG mismatches ~100% of elements at output scale; boundary noise
+    touches <<1% with sub-quant-step magnitude."""
+    got = np.array(got, np.float32)
+    ref = np.array(ref, np.float32)
+    d = np.abs(got - ref)
+    frac = float((d > 0).mean())
+    assert frac <= 0.02, f"{frac:.2%} elements differ"
+    assert d.max() <= 0.15 * ref.std() + 1e-6, (d.max(), ref.std())
+    assert d.mean() <= 2e-3 * ref.std() + 1e-7, (d.mean(), ref.std())
+
+
+@pytest.mark.parametrize("c,reps,h", [(32, 2, 8), (64, 1, 10), (32, 3, 6)])
+def test_int8_matches_mirror(c, reps, h):
+    rng = np.random.RandomState(c + reps)
+    p, bs = make_block(rng, c, reps)
+    x = jnp.asarray(rng.randn(2, h, h, c).astype(np.float32), jnp.bfloat16)
+    scales = calibrated(p, bs, x, reps)
+
+    ref = Q._feature_block(Q._Ctx(CFG, act_scales=scales), "FB", p, bs,
+                           x, reps)
+    w1, w2, ex, e1, e2 = Q.pack_feature_block(CFG, "FB", p, bs, scales,
+                                              reps)
+    got = fused_feature_block(x, w1, w2, ex, e1, e2, int8=True,
+                              alpha=CFG.leaky_relu_alpha, interpret=True)
+    assert_quant_faithful(got, ref)
+
+
+def test_bf16_mode_matches_mirror():
+    rng = np.random.RandomState(7)
+    c, reps = 32, 2
+    p, bs = make_block(rng, c, reps)
+    x = jnp.asarray(rng.randn(2, 8, 8, c).astype(np.float32), jnp.bfloat16)
+
+    w1s, w2s, e1s, e2s = [], [], [], []
+    for r in range(reps):
+        p1, bs1 = p[f"ConvBlock_{2 * r}"], bs[f"ConvBlock_{2 * r}"]
+        p2, bs2 = p[f"ConvBlock_{2 * r + 1}"], bs[f"ConvBlock_{2 * r + 1}"]
+        m1, a1 = Q._bn_affine(CFG, p1, bs1)
+        m2, a2 = Q._bn_affine(CFG, p2, bs2)
+        one = jnp.ones_like
+        w1s.append(p1["Conv_0"]["kernel"].reshape(c, c // 2))
+        w2s.append(p2["Conv_0"]["kernel"].reshape(9, c // 2, c))
+        e1s.append(jnp.stack([one(m1), p1["Conv_0"]["bias"], m1, a1,
+                              one(m1)]))
+        e2s.append(jnp.stack([one(m2), p2["Conv_0"]["bias"], m2, a2]))
+    ex = jnp.ones((reps, 1, c), jnp.float32)
+
+    ref = np.array(Q._feature_block(Q._Ctx(CFG), "FB", p, bs, x, reps),
+                   np.float32)
+    got = np.array(fused_feature_block(
+        x, jnp.stack(w1s), jnp.stack(w2s), ex, jnp.stack(e1s),
+        jnp.stack(e2s), int8=False, alpha=CFG.leaky_relu_alpha,
+        interpret=True), np.float32)
+    # bf16 resolution: accumulation order differs from XLA's conv emitter
+    np.testing.assert_allclose(got, ref, atol=0.12 * ref.std())
+
+
+def test_forward_feature_maps_fused_interpret():
+    """End-to-end: forward_feature_maps(fused_blocks=True) == XLA int8."""
+    import jax
+
+    cfg = ModelConfig(img_size=(64, 64, 3), number_classes=2,
+                      anchors=((16, 48), (48, 16)), block_count=2,
+                      filter_count=32)
+    from yolov3_tpu.models.yolo import YoloV3
+
+    model = YoloV3(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32),
+                           train=False)
+    p, bs = variables["params"], variables["batch_stats"]
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    scales = Q.calibrate(p, bs, cfg, x)
+
+    ref = Q.forward_feature_maps(p, bs, cfg, x, act_scales=scales)
+    got = Q.forward_feature_maps(p, bs, cfg, x, act_scales=scales,
+                                 fused_blocks=True, fused_interpret=True)
+    for a, b in zip(got, ref):
+        assert_quant_faithful(a, b)

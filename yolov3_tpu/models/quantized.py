@@ -54,7 +54,11 @@ def _quantize_weight(w: Array) -> Tuple[Array, Array]:
 
 
 def _quantize_act(x: Array, scale: Array) -> Array:
-    xq = jnp.round(x.astype(jnp.float32) / scale)
+    # multiply by the f32 reciprocal (not divide): cheaper on the VPU, and
+    # the SAME rounding sequence the fused Pallas kernel uses, so the two
+    # int8 paths stay bit-identical
+    inv = jnp.float32(1.0) / jnp.float32(scale)
+    xq = jnp.round(x.astype(jnp.float32) * inv)
     return jnp.clip(xq, -127, 127).astype(jnp.int8)
 
 
@@ -78,12 +82,15 @@ class _Ctx:
     def __init__(self, cfg: ModelConfig,
                  act_scales: Optional[Dict[str, float]] = None,
                  collect: Optional[Dict[str, Array]] = None,
-                 quant_skip: Sequence[str] = DEFAULT_QUANT_SKIP):
+                 quant_skip: Sequence[str] = DEFAULT_QUANT_SKIP,
+                 fused_blocks: bool = False, fused_interpret: bool = False):
         self.cfg = cfg
         self.act_scales = act_scales
         self.collect = collect
         self.dtype = cfg.dtype
         self.quant_skip = frozenset(quant_skip)
+        self.fused_blocks = fused_blocks
+        self.fused_interpret = fused_interpret
 
     @property
     def int8(self) -> bool:
@@ -95,21 +102,22 @@ def _conv(ctx: _Ctx, name: str, x: Array, w: Array, stride, padding) -> Array:
     strides = (stride, stride) if isinstance(stride, int) else stride
     if ctx.collect is not None:
         ctx.collect[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
-    if ctx.int8 and name not in ctx.quant_skip:
-        if name not in ctx.act_scales:
-            raise KeyError(f"no activation scale calibrated for {name}")
-        sx = jnp.float32(ctx.act_scales[name])
-        wq, sw = _quantize_weight(w)
-        # NOTE(measured, v5e b32): lowering 1x1 convs to reshape+dot_general
-        # REGRESSES the full model 17.8 -> 23.8 ms — the reshape on the
-        # packed int8 layout forces relayout copies. Keep the conv form.
-        y = jax.lax.conv_general_dilated(
-            _quantize_act(x, sx), wq, strides, padding,
-            dimension_numbers=_DN, preferred_element_type=jnp.int32)
-        return y.astype(jnp.float32) * (sx * sw)
-    return jax.lax.conv_general_dilated(
-        x.astype(ctx.dtype), w.astype(ctx.dtype), strides, padding,
-        dimension_numbers=_DN).astype(jnp.float32)
+    with jax.named_scope(name):  # per-layer attribution in profiles
+        if ctx.int8 and name not in ctx.quant_skip:
+            if name not in ctx.act_scales:
+                raise KeyError(f"no activation scale calibrated for {name}")
+            sx = jnp.float32(ctx.act_scales[name])
+            wq, sw = _quantize_weight(w)
+            # NOTE(measured, v5e b32): lowering 1x1 convs to
+            # reshape+dot_general REGRESSES the full model 17.8 -> 23.8 ms —
+            # the reshape on the packed int8 layout forces relayout copies.
+            y = jax.lax.conv_general_dilated(
+                _quantize_act(x, sx), wq, strides, padding,
+                dimension_numbers=_DN, preferred_element_type=jnp.int32)
+            return y.astype(jnp.float32) * (sx * sw)
+        return jax.lax.conv_general_dilated(
+            x.astype(ctx.dtype), w.astype(ctx.dtype), strides, padding,
+            dimension_numbers=_DN).astype(jnp.float32)
 
 
 def _conv_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
@@ -133,14 +141,19 @@ def _conv_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
                                        for v in (b, scale, offset, mean, var))
     y = _conv(ctx, name, x, w, stride, padding) + b
     y = jnp.where(y >= 0, y, cfg.leaky_relu_alpha * y)
-    inv = jax.lax.rsqrt(var + cfg.bn_epsilon) * scale
-    return ((y - mean) * inv + offset).astype(ctx.dtype)
+    # folded affine form (y*mul + add), the same arithmetic sequence the
+    # fused Pallas kernel uses, so the two int8 paths stay bit-identical
+    mul = jax.lax.rsqrt(var + cfg.bn_epsilon) * scale
+    add = offset - mean * mul
+    return (y * mul + add).astype(ctx.dtype)
 
 
 def _feature_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
                    reps: int) -> Array:
     if reps == 0:  # zero-rep blocks create no params (e.g. block_count=1)
         return x
+    if ctx.fused_blocks and _fusable(ctx, name, p, reps, x.shape):
+        return _feature_block_fused(ctx, name, p, bs, x, reps)
     inputs = x
     for r in range(reps):
         y = _conv_block(ctx, f"{name}/ConvBlock_{2 * r}",
@@ -150,6 +163,73 @@ def _feature_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
                         bs[f"ConvBlock_{2 * r + 1}"], y)
         x = inputs + y  # residual adds the block input (reference/model.py:47)
     return x
+
+
+def _fusable(ctx: _Ctx, name: str, p: dict, reps: int, xshape) -> bool:
+    """The Pallas kernel serves standard (unblocked-domain) feature blocks
+    whose conv blocks all run int8 (skip-listed blocks fall back) and
+    whose whole per-image activation fits the kernel's VMEM plan."""
+    from yolov3_tpu.ops.pallas.feature_block_kernel import vmem_fits
+
+    if not ctx.int8:
+        return False
+    for r in range(2 * reps):
+        if f"{name}/ConvBlock_{r}" in ctx.quant_skip:
+            return False
+    k1 = p["ConvBlock_0"]["Conv_0"]["kernel"]
+    if not (k1.shape[0] == 1 and k1.shape[2] == 2 * k1.shape[3]):
+        return False
+    return vmem_fits(xshape[1], xshape[2], xshape[3])
+
+
+def _bn_affine(cfg: ModelConfig, p: dict, bs: dict):
+    mul = (p["BatchNorm_0"]["scale"].astype(jnp.float32)
+           * jax.lax.rsqrt(bs["BatchNorm_0"]["var"].astype(jnp.float32)
+                           + cfg.bn_epsilon))
+    add = (p["BatchNorm_0"]["bias"].astype(jnp.float32)
+           - bs["BatchNorm_0"]["mean"].astype(jnp.float32) * mul)
+    return mul, add
+
+
+def pack_feature_block(cfg: ModelConfig, name: str, p: dict, bs: dict,
+                       act_scales: Dict[str, float], reps: int):
+    """Stack a FeatureBlock's per-rep params into the fused kernel's
+    (w1, w2, ex, e1, e2) arrays (see feature_block_kernel)."""
+    w1s, w2s, exs, e1s, e2s = [], [], [], [], []
+    for r in range(reps):
+        p1, bs1 = p[f"ConvBlock_{2 * r}"], bs[f"ConvBlock_{2 * r}"]
+        p2, bs2 = p[f"ConvBlock_{2 * r + 1}"], bs[f"ConvBlock_{2 * r + 1}"]
+        sx1 = jnp.float32(act_scales[f"{name}/ConvBlock_{2 * r}"])
+        sx2 = jnp.float32(act_scales[f"{name}/ConvBlock_{2 * r + 1}"])
+        w1q, sw1 = _quantize_weight(p1["Conv_0"]["kernel"])
+        w2q, sw2 = _quantize_weight(p2["Conv_0"]["kernel"])
+        c, ch = w1q.shape[2], w1q.shape[3]
+        mul1, add1 = _bn_affine(cfg, p1, bs1)
+        mul2, add2 = _bn_affine(cfg, p2, bs2)
+        w1s.append(w1q.reshape(c, ch))
+        w2s.append(w2q.reshape(9, ch, c))
+        exs.append(jnp.full((1, c), 1.0 / sx1, jnp.float32))
+        e1s.append(jnp.stack([sx1 * sw1,
+                              p1["Conv_0"]["bias"].astype(jnp.float32),
+                              mul1, add1,
+                              jnp.full_like(mul1, 1.0 / sx2)]))
+        e2s.append(jnp.stack([sx2 * sw2,
+                              p2["Conv_0"]["bias"].astype(jnp.float32),
+                              mul2, add2]))
+    return tuple(jnp.stack(v) for v in (w1s, w2s, exs, e1s, e2s))
+
+
+def _feature_block_fused(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
+                         reps: int) -> Array:
+    from yolov3_tpu.ops.pallas.feature_block_kernel import fused_feature_block
+
+    w1, w2, ex, e1, e2 = pack_feature_block(ctx.cfg, name, p, bs,
+                                            ctx.act_scales, reps)
+    with jax.named_scope(f"{name}/fused"):
+        return fused_feature_block(
+            x.astype(ctx.dtype), w1, w2, ex, e1, e2, int8=True,
+            alpha=ctx.cfg.leaky_relu_alpha,
+            interpret=ctx.fused_interpret).astype(ctx.dtype)
 
 
 def _yolo_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
@@ -201,13 +281,18 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                          act_scales: Optional[Dict[str, float]] = None,
                          collect: Optional[Dict[str, Array]] = None,
                          quant_skip: Sequence[str] = DEFAULT_QUANT_SKIP,
+                         fused_blocks: bool = False,
+                         fused_interpret: bool = False,
                          ) -> Tuple[Array, Array, Array]:
     """Inference feature maps, mirroring `YoloV3.apply(..., train=False)`.
 
     x is NHWC float32 (already z-scored). Mode per (act_scales, collect);
-    `quant_skip` names conv blocks kept bf16 in int8 mode.
+    `quant_skip` names conv blocks kept bf16 in int8 mode. `fused_blocks`
+    routes int8 feature blocks through the VMEM-resident Pallas kernel
+    (`ops/pallas/feature_block_kernel.py`).
     """
-    ctx = _Ctx(cfg, act_scales, collect, quant_skip)
+    ctx = _Ctx(cfg, act_scales, collect, quant_skip,
+               fused_blocks=fused_blocks, fused_interpret=fused_interpret)
     p, bs = params, batch_stats
     d = "Darknet53_0"
     bc = cfg.block_count
