@@ -78,14 +78,18 @@ def main(argv=None):
     mirror_int8 = make_int8(Q.DEFAULT_QUANT_SKIP)
     mirror_int8_all = make_int8(())
 
-    @jax.jit
-    def mirror_int8_fused(images):
-        fms = Q.forward_feature_maps(params, bs, cfg, images,
-                                     act_scales=scales,
-                                     quant_skip=Q.DEFAULT_QUANT_SKIP,
-                                     fused_blocks=True)
-        return decode_detections(fms, cfg.anchors, cfg.number_classes,
-                                 cfg.strides)
+    def make_fused(which):
+        @jax.jit
+        def f(images):
+            fms = Q.forward_feature_maps(params, bs, cfg, images,
+                                         act_scales=scales,
+                                         quant_skip=Q.DEFAULT_QUANT_SKIP,
+                                         fused_blocks=which)
+            return decode_detections(fms, cfg.anchors, cfg.number_classes,
+                                     cfg.strides)
+        return f
+
+    mirror_int8_fused = make_fused(True)
 
     S2D_ALL = ("Darknet53_0/ConvBlock_0", "Darknet53_0/ConvBlock_1",
                "Darknet53_0/FeatureBlock_0/ConvBlock_0",
@@ -114,6 +118,11 @@ def main(argv=None):
     bench("int8_skip_stems", mirror_int8)
     bench("int8_deep_only", mirror_int8_deep_only)
     bench("int8_fused", mirror_int8_fused)
+    bench("int8_fused_fb2", make_fused(("Darknet53_0/FeatureBlock_2",)))
+    bench("int8_fused_fb34", make_fused(("Darknet53_0/FeatureBlock_3",
+                                         "Darknet53_0/FeatureBlock_4")))
+    # stem1 bf16, stem2 int8 (round 1 only ever measured both together)
+    bench("int8_skip_stem1", make_int8(("Darknet53_0/ConvBlock_0",)))
 
     if os.environ.get("PROFILE_INT8"):
         import collections

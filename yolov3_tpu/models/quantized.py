@@ -120,6 +120,27 @@ def _conv(ctx: _Ctx, name: str, x: Array, w: Array, stride, padding) -> Array:
             dimension_numbers=_DN).astype(jnp.float32)
 
 
+def _epilogue(ctx: _Ctx, p: dict, bs: dict, y: Array,
+              out_tile: int = 1) -> Array:
+    """bias -> LeakyReLU -> affine BN on an f32 conv output."""
+    cfg = ctx.cfg
+    b = p["Conv_0"]["bias"].astype(jnp.float32)
+    scale = p["BatchNorm_0"]["scale"].astype(jnp.float32)
+    offset = p["BatchNorm_0"]["bias"].astype(jnp.float32)
+    mean = bs["BatchNorm_0"]["mean"].astype(jnp.float32)
+    var = bs["BatchNorm_0"]["var"].astype(jnp.float32)
+    if out_tile > 1:
+        b, scale, offset, mean, var = (jnp.tile(v, out_tile)
+                                       for v in (b, scale, offset, mean, var))
+    y = y + b
+    y = jnp.where(y >= 0, y, cfg.leaky_relu_alpha * y)
+    # folded affine form (y*mul + add), the same arithmetic sequence the
+    # fused Pallas kernel uses, so the two int8 paths stay bit-identical
+    mul = jax.lax.rsqrt(var + cfg.bn_epsilon) * scale
+    add = offset - mean * mul
+    return (y * mul + add).astype(ctx.dtype)
+
+
 def _conv_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
                 stride: int = 1, kernel_override: Optional[Array] = None,
                 padding="SAME", out_tile: int = 1) -> Array:
@@ -129,30 +150,56 @@ def _conv_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
     channels share the untiled BN/bias parameters (models/yolo.py
     `_s2d_batchnorm`).
     """
-    cfg = ctx.cfg
     w = p["Conv_0"]["kernel"] if kernel_override is None else kernel_override
-    b = p["Conv_0"]["bias"].astype(jnp.float32)
-    scale = p["BatchNorm_0"]["scale"].astype(jnp.float32)
-    offset = p["BatchNorm_0"]["bias"].astype(jnp.float32)
-    mean = bs["BatchNorm_0"]["mean"].astype(jnp.float32)
-    var = bs["BatchNorm_0"]["var"].astype(jnp.float32)
-    if out_tile > 1:
-        b, scale, offset, mean, var = (jnp.tile(v, out_tile)
-                                       for v in (b, scale, offset, mean, var))
-    y = _conv(ctx, name, x, w, stride, padding) + b
-    y = jnp.where(y >= 0, y, cfg.leaky_relu_alpha * y)
-    # folded affine form (y*mul + add), the same arithmetic sequence the
-    # fused Pallas kernel uses, so the two int8 paths stay bit-identical
-    mul = jax.lax.rsqrt(var + cfg.bn_epsilon) * scale
-    add = offset - mean * mul
-    return (y * mul + add).astype(ctx.dtype)
+    return _epilogue(ctx, p, bs, _conv(ctx, name, x, w, stride, padding),
+                     out_tile)
+
+
+def _conv_block_cat2(ctx: _Ctx, name: str, p: dict, bs: dict,
+                     a: Array, b_in: Array) -> Array:
+    """`_conv_block` of a 1x1 conv over concatenate([a, b_in], -1) WITHOUT
+    materializing the concat: conv(concat(a,b), W) = conv(a, Wa) +
+    conv(b, Wb). Skips a full-tensor concat write AND (in int8 mode) the
+    separate quantize pass over the concatenated tensor — both halves
+    quantize with the same per-tensor scale, so calibration keys are
+    unchanged."""
+    w = p["Conv_0"]["kernel"]
+    ca = a.shape[-1]
+    wa, wb = w[:, :, :ca, :], w[:, :, ca:, :]
+    if ctx.collect is not None:
+        ctx.collect[name] = jnp.maximum(
+            jnp.max(jnp.abs(a.astype(jnp.float32))),
+            jnp.max(jnp.abs(b_in.astype(jnp.float32))))
+    with jax.named_scope(name):
+        if ctx.int8 and name not in ctx.quant_skip:
+            if name not in ctx.act_scales:
+                raise KeyError(f"no activation scale calibrated for {name}")
+            sx = jnp.float32(ctx.act_scales[name])
+            # per-output-channel scales span both halves: quantize the FULL
+            # kernel, then split — identical numbers to the concat form
+            wq, sw = _quantize_weight(w)
+            ya = jax.lax.conv_general_dilated(
+                _quantize_act(a, sx), wq[:, :, :ca, :], (1, 1), "SAME",
+                dimension_numbers=_DN, preferred_element_type=jnp.int32)
+            yb = jax.lax.conv_general_dilated(
+                _quantize_act(b_in, sx), wq[:, :, ca:, :], (1, 1), "SAME",
+                dimension_numbers=_DN, preferred_element_type=jnp.int32)
+            y = (ya + yb).astype(jnp.float32) * (sx * sw)
+        else:
+            conv = lambda t, k: jax.lax.conv_general_dilated(
+                t.astype(ctx.dtype), k.astype(ctx.dtype), (1, 1), "SAME",
+                dimension_numbers=_DN).astype(jnp.float32)
+            y = conv(a, wa) + conv(b_in, wb)
+    return _epilogue(ctx, p, bs, y)
 
 
 def _feature_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
                    reps: int) -> Array:
     if reps == 0:  # zero-rep blocks create no params (e.g. block_count=1)
         return x
-    if ctx.fused_blocks and _fusable(ctx, name, p, reps, x.shape):
+    fused_on = (ctx.fused_blocks is True
+                or (ctx.fused_blocks and name in ctx.fused_blocks))
+    if fused_on and _fusable(ctx, name, p, reps, x.shape):
         return _feature_block_fused(ctx, name, p, bs, x, reps)
     inputs = x
     for r in range(reps):
@@ -233,8 +280,16 @@ def _feature_block_fused(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
 
 
 def _yolo_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
-                ) -> Tuple[Array, Array]:
-    for i in range(5):
+                x2: Optional[Array] = None) -> Tuple[Array, Array]:
+    """5-conv yolo block + route (reference/model.py:50-59). When `x2` is
+    given, the block's input is concatenate([x, x2], -1) — computed as a
+    split 1x1 conv, skipping the concat materialization."""
+    start = 0
+    if x2 is not None:
+        x = _conv_block_cat2(ctx, f"{name}/ConvBlock_0", p["ConvBlock_0"],
+                             bs["ConvBlock_0"], x, x2)
+        start = 1
+    for i in range(start, 5):
         x = _conv_block(ctx, f"{name}/ConvBlock_{i}", p[f"ConvBlock_{i}"],
                         bs[f"ConvBlock_{i}"], x)
     route = x
@@ -341,15 +396,13 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
     fm1 = head("DetectionHead_0", yb)
     y = _conv_block(ctx, "ConvBlock_0", p["ConvBlock_0"], bs["ConvBlock_0"],
                     route)
-    y = jnp.concatenate([up(y), route_s16], axis=-1)
     route, yb = _yolo_block(ctx, "YoloBlock_1", p["YoloBlock_1"],
-                            bs["YoloBlock_1"], y)
+                            bs["YoloBlock_1"], up(y), x2=route_s16)
     fm2 = head("DetectionHead_1", yb)
     y = _conv_block(ctx, "ConvBlock_1", p["ConvBlock_1"], bs["ConvBlock_1"],
                     route)
-    y = jnp.concatenate([up(y), route_s8], axis=-1)
     _, yb = _yolo_block(ctx, "YoloBlock_2", p["YoloBlock_2"],
-                        bs["YoloBlock_2"], y)
+                        bs["YoloBlock_2"], up(y), x2=route_s8)
     fm3 = head("DetectionHead_2", yb)
     return fm1, fm2, fm3
 
