@@ -123,6 +123,7 @@ def main(argv=None):
                                          "Darknet53_0/FeatureBlock_4")))
     # stem1 bf16, stem2 int8 (round 1 only ever measured both together)
     bench("int8_skip_stem1", make_int8(("Darknet53_0/ConvBlock_0",)))
+    bench("int8_fused_fb4", make_fused(("Darknet53_0/FeatureBlock_4",)))
 
     if os.environ.get("PROFILE_INT8"):
         import collections

@@ -96,6 +96,21 @@ class TestInferenceCli:
         with open(os.path.join(out_dir, "big.csv")) as fh:
             assert fh.readline().strip() == "X,Y,W,H,P,C"
 
+    def test_tiled_inference_int8_csv(self, exported_model, tmp_path, rng):
+        """--int8 tiled path: calibrates on the first image's tiles and
+        produces the same CSV schema as the bf16 path."""
+        path, _ = exported_model
+        img_dir = str(tmp_path / "big8")
+        os.makedirs(img_dir)
+        big = rng.randint(0, 255, (150, 130, 3)).astype(np.uint8)
+        imwrite(big, os.path.join(img_dir, "big.png"))
+        out_dir = str(tmp_path / "out_tiled_int8")
+        inference_image_folder(img_dir, "png", path, out_dir,
+                               tile_size=(64, 64), min_roi_size=4,
+                               batch_size=4, edge_range=0, use_int8=True)
+        with open(os.path.join(out_dir, "big.csv")) as fh:
+            assert fh.readline().strip() == "X,Y,W,H,P,C"
+
     def test_tile_size_mismatch_raises(self, exported_model, tmp_path, rng):
         path, _ = exported_model
         img_dir = str(tmp_path / "imgs3")

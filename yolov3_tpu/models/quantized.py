@@ -421,6 +421,27 @@ def calibrate(params: dict, batch_stats: dict, cfg: ModelConfig,
     return {k: max(float(v), 1e-12) / 127.0 for k, v in maxima.items()}
 
 
+def make_quantized_detector_fn(saved_model_filepath: str,
+                               calib_images: Array):
+    """int8 twin of `inference.make_detector_fn`: detect(images NHWC f32)
+    -> decoded detections [B, num_boxes, 4+1+C] (no NMS — callers like the
+    tiled pipeline run their own per-tile NMS). `calib_images`: a
+    representative z-scored batch for activation-scale calibration."""
+    from yolov3_tpu.utils import checkpoint as ckpt
+
+    params, batch_stats, cfg = ckpt.load_model(saved_model_filepath)
+    scales = calibrate(params, batch_stats, cfg, calib_images)
+
+    @jax.jit
+    def detect(images: Array) -> Array:
+        fms = forward_feature_maps(params, batch_stats, cfg, images,
+                                   act_scales=scales)
+        return decode_detections(fms, cfg.anchors, cfg.number_classes,
+                                 cfg.strides)
+
+    return detect, cfg
+
+
 def make_quantized_serving_fn(saved_model_filepath: str,
                               calib_images: Array,
                               icfg: Optional[InferenceConfig] = None,
