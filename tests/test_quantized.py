@@ -59,6 +59,21 @@ class TestCalibration:
         for fm in fms:
             assert np.isfinite(np.asarray(fm, np.float32)).all()
 
+    def test_percentile_calibration(self):
+        """Percentile scales clip the range: every scale <= its absmax
+        twin, the same conv set is covered, and the int8 path still runs."""
+        cfg, model, variables, x = make_model(True)
+        p, bs = variables["params"], variables["batch_stats"]
+        full = Q.calibrate(p, bs, cfg, x)
+        clipped = Q.calibrate(p, bs, cfg, x, percentile=99.0)
+        assert set(clipped) == set(full)
+        assert all(clipped[k] <= full[k] * (1 + 1e-6) for k in full)
+        # activations are continuous -> p99 strictly clips somewhere
+        assert any(clipped[k] < full[k] * 0.999 for k in full)
+        fms = Q.forward_feature_maps(p, bs, cfg, x, act_scales=clipped)
+        for fm in fms:
+            assert np.isfinite(np.asarray(fm, np.float32)).all()
+
     def test_missing_scale_raises(self):
         cfg, model, variables, x = make_model(False)
         with pytest.raises(KeyError):

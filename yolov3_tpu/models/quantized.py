@@ -83,7 +83,8 @@ class _Ctx:
                  act_scales: Optional[Dict[str, float]] = None,
                  collect: Optional[Dict[str, Array]] = None,
                  quant_skip: Sequence[str] = DEFAULT_QUANT_SKIP,
-                 fused_blocks: bool = False, fused_interpret: bool = False):
+                 fused_blocks: bool = False, fused_interpret: bool = False,
+                 collect_reduce: str = "absmax"):
         self.cfg = cfg
         self.act_scales = act_scales
         self.collect = collect
@@ -91,17 +92,34 @@ class _Ctx:
         self.quant_skip = frozenset(quant_skip)
         self.fused_blocks = fused_blocks
         self.fused_interpret = fused_interpret
+        self.collect_reduce = collect_reduce
+
+    def record(self, name: str, *tensors: Array) -> None:
+        """Calibration-mode recording: per-tensor absmax, or the flattened
+        |activations| when the caller wants percentile statistics."""
+        if self.collect_reduce == "absmax":
+            self.collect[name] = jnp.max(jnp.stack(
+                [jnp.max(jnp.abs(t.astype(jnp.float32))) for t in tensors]))
+        else:
+            self.collect[name] = jnp.concatenate(
+                [jnp.abs(t.astype(jnp.float32)).ravel() for t in tensors])
 
     @property
     def int8(self) -> bool:
         return self.act_scales is not None
 
 
-def _conv(ctx: _Ctx, name: str, x: Array, w: Array, stride, padding) -> Array:
-    """One convolution in the ctx's mode; returns f32-accumulated output."""
+def _conv_raw(ctx: _Ctx, name: str, x: Array, w: Array, stride,
+              padding) -> Tuple[Array, Optional[Array]]:
+    """One convolution in the ctx's mode: (f32 output, dequant scale).
+
+    In int8 mode the output is the RAW int32 accumulation cast to f32 and
+    the per-output-channel dequant scale sx*sw comes back separately, so
+    `_epilogue` can commute it through LeakyReLU (dq > 0) instead of
+    spending a full-tensor multiply."""
     strides = (stride, stride) if isinstance(stride, int) else stride
     if ctx.collect is not None:
-        ctx.collect[name] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        ctx.record(name, x)
     with jax.named_scope(name):  # per-layer attribution in profiles
         if ctx.int8 and name not in ctx.quant_skip:
             if name not in ctx.act_scales:
@@ -114,15 +132,28 @@ def _conv(ctx: _Ctx, name: str, x: Array, w: Array, stride, padding) -> Array:
             y = jax.lax.conv_general_dilated(
                 _quantize_act(x, sx), wq, strides, padding,
                 dimension_numbers=_DN, preferred_element_type=jnp.int32)
-            return y.astype(jnp.float32) * (sx * sw)
+            return y.astype(jnp.float32), sx * sw
         return jax.lax.conv_general_dilated(
             x.astype(ctx.dtype), w.astype(ctx.dtype), strides, padding,
-            dimension_numbers=_DN).astype(jnp.float32)
+            dimension_numbers=_DN).astype(jnp.float32), None
+
+
+def _conv(ctx: _Ctx, name: str, x: Array, w: Array, stride, padding) -> Array:
+    """Dequantized convolution output (heads and callers that skip the
+    conv-block epilogue)."""
+    y, dq = _conv_raw(ctx, name, x, w, stride, padding)
+    return y if dq is None else y * dq
 
 
 def _epilogue(ctx: _Ctx, p: dict, bs: dict, y: Array,
-              out_tile: int = 1) -> Array:
-    """bias -> LeakyReLU -> affine BN on an f32 conv output."""
+              out_tile: int = 1, dq: Optional[Array] = None) -> Array:
+    """bias -> LeakyReLU -> affine BN on an f32 conv output.
+
+    When `dq` (the int8 path's per-channel dequant scale, > 0) is given,
+    it is commuted through LeakyReLU — leaky(y*dq + b) * mul ==
+    leaky(y + b/dq) * (dq*mul) — saving a full-tensor multiply in the
+    conv's fused epilogue (XLA cannot do this fold itself: it does not
+    know dq is positive)."""
     cfg = ctx.cfg
     b = p["Conv_0"]["bias"].astype(jnp.float32)
     scale = p["BatchNorm_0"]["scale"].astype(jnp.float32)
@@ -132,12 +163,15 @@ def _epilogue(ctx: _Ctx, p: dict, bs: dict, y: Array,
     if out_tile > 1:
         b, scale, offset, mean, var = (jnp.tile(v, out_tile)
                                        for v in (b, scale, offset, mean, var))
-    y = y + b
-    y = jnp.where(y >= 0, y, cfg.leaky_relu_alpha * y)
     # folded affine form (y*mul + add), the same arithmetic sequence the
-    # fused Pallas kernel uses, so the two int8 paths stay bit-identical
+    # fused Pallas kernel uses, so the two int8 paths stay comparable
     mul = jax.lax.rsqrt(var + cfg.bn_epsilon) * scale
     add = offset - mean * mul
+    if dq is not None:
+        b = b / dq
+        mul = mul * dq
+    y = y + b
+    y = jnp.where(y >= 0, y, cfg.leaky_relu_alpha * y)
     return (y * mul + add).astype(ctx.dtype)
 
 
@@ -151,8 +185,8 @@ def _conv_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
     `_s2d_batchnorm`).
     """
     w = p["Conv_0"]["kernel"] if kernel_override is None else kernel_override
-    return _epilogue(ctx, p, bs, _conv(ctx, name, x, w, stride, padding),
-                     out_tile)
+    y, dq = _conv_raw(ctx, name, x, w, stride, padding)
+    return _epilogue(ctx, p, bs, y, out_tile, dq=dq)
 
 
 def _conv_block_cat2(ctx: _Ctx, name: str, p: dict, bs: dict,
@@ -167,9 +201,7 @@ def _conv_block_cat2(ctx: _Ctx, name: str, p: dict, bs: dict,
     ca = a.shape[-1]
     wa, wb = w[:, :, :ca, :], w[:, :, ca:, :]
     if ctx.collect is not None:
-        ctx.collect[name] = jnp.maximum(
-            jnp.max(jnp.abs(a.astype(jnp.float32))),
-            jnp.max(jnp.abs(b_in.astype(jnp.float32))))
+        ctx.record(name, a, b_in)
     with jax.named_scope(name):
         if ctx.int8 and name not in ctx.quant_skip:
             if name not in ctx.act_scales:
@@ -184,12 +216,12 @@ def _conv_block_cat2(ctx: _Ctx, name: str, p: dict, bs: dict,
             yb = jax.lax.conv_general_dilated(
                 _quantize_act(b_in, sx), wq[:, :, ca:, :], (1, 1), "SAME",
                 dimension_numbers=_DN, preferred_element_type=jnp.int32)
-            y = (ya + yb).astype(jnp.float32) * (sx * sw)
-        else:
-            conv = lambda t, k: jax.lax.conv_general_dilated(
-                t.astype(ctx.dtype), k.astype(ctx.dtype), (1, 1), "SAME",
-                dimension_numbers=_DN).astype(jnp.float32)
-            y = conv(a, wa) + conv(b_in, wb)
+            return _epilogue(ctx, p, bs, (ya + yb).astype(jnp.float32),
+                             dq=sx * sw)
+        conv = lambda t, k: jax.lax.conv_general_dilated(
+            t.astype(ctx.dtype), k.astype(ctx.dtype), (1, 1), "SAME",
+            dimension_numbers=_DN).astype(jnp.float32)
+        y = conv(a, wa) + conv(b_in, wb)
     return _epilogue(ctx, p, bs, y)
 
 
@@ -338,6 +370,7 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                          quant_skip: Sequence[str] = DEFAULT_QUANT_SKIP,
                          fused_blocks: bool = False,
                          fused_interpret: bool = False,
+                         collect_reduce: str = "absmax",
                          ) -> Tuple[Array, Array, Array]:
     """Inference feature maps, mirroring `YoloV3.apply(..., train=False)`.
 
@@ -347,7 +380,8 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
     (`ops/pallas/feature_block_kernel.py`).
     """
     ctx = _Ctx(cfg, act_scales, collect, quant_skip,
-               fused_blocks=fused_blocks, fused_interpret=fused_interpret)
+               fused_blocks=fused_blocks, fused_interpret=fused_interpret,
+               collect_reduce=collect_reduce)
     p, bs = params, batch_stats
     d = "Darknet53_0"
     bc = cfg.block_count
@@ -408,17 +442,28 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
 
 
 def calibrate(params: dict, batch_stats: dict, cfg: ModelConfig,
-              images: Array) -> Dict[str, float]:
-    """Per-tensor activation scales from one calibration batch's absmax."""
+              images: Array,
+              percentile: Optional[float] = None) -> Dict[str, float]:
+    """Per-tensor activation scales from one calibration batch.
+
+    Default: absmax (conservative — no clipping, outlier-fragile range).
+    `percentile` (e.g. 99.9) instead clips each tensor's range at that
+    percentile of |activations| — the standard post-training-quantization
+    quality lever when a layer has heavy-tailed activations."""
     collect: Dict[str, Array] = {}
+    reduce_mode = "absmax" if percentile is None else "abs"
 
     @jax.jit
     def run(x):
-        forward_feature_maps(params, batch_stats, cfg, x, collect=collect)
-        return dict(collect)
+        forward_feature_maps(params, batch_stats, cfg, x, collect=collect,
+                             collect_reduce=reduce_mode)
+        if percentile is None:
+            return dict(collect)
+        return {k: jnp.percentile(v, percentile)
+                for k, v in collect.items()}
 
-    maxima = jax.device_get(run(jnp.asarray(images)))
-    return {k: max(float(v), 1e-12) / 127.0 for k, v in maxima.items()}
+    vals = jax.device_get(run(jnp.asarray(images)))
+    return {k: max(float(v), 1e-12) / 127.0 for k, v in vals.items()}
 
 
 def make_quantized_detector_fn(saved_model_filepath: str,

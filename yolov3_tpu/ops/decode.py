@@ -59,6 +59,51 @@ def reorg_feature_map(feature_map: jnp.ndarray,
     return xy_offset, boxes, objectness_logits, class_logits
 
 
+def _decode_fm_packed(fm: jnp.ndarray,
+                      anchors: Sequence[Tuple[float, float]],
+                      number_classes: int, stride: int) -> jnp.ndarray:
+    """One scale's full decode WITHOUT unpacking the channel dim.
+
+    Identical math to `reorg_feature_map` + sigmoid + corner conversion,
+    but expressed as per-lane-selected elementwise ops on the packed
+    [N, gh, gw, A*(5+C)] layout: the 5D slice/concat intermediates (2- and
+    4-lane tensors that force relayout copies on TPU) never materialize.
+    Returns [N, gh*gw*A, 5+C] rows [x0,y0,x1,y1,obj,probs...]."""
+    import numpy as np
+
+    num_anchors = len(anchors)
+    d = 5 + number_classes
+    n, gh, gw, _ = fm.shape
+    f = fm.astype(jnp.float32)
+
+    k = np.arange(num_anchors * d) % d
+    is_xy = jnp.asarray(k < 2)
+    is_wh = jnp.asarray((k >= 2) & (k < 4))
+    # cell offsets: lane k==0 is the column (x), k==1 the row (y)
+    col = jax.lax.broadcasted_iota(jnp.float32, (gh, gw, 1), 1)
+    row = jax.lax.broadcasted_iota(jnp.float32, (gh, gw, 1), 0)
+    off = jnp.where(jnp.asarray(k == 0), col, jnp.where(
+        jnp.asarray(k == 1), row, 0.0))          # [gh, gw, A*d]
+    anchor_plane = np.ones(num_anchors * d, np.float32)
+    for a, (aw, ah) in enumerate(anchors):
+        anchor_plane[a * d + 2] = aw
+        anchor_plane[a * d + 3] = ah
+    anchor_plane = jnp.asarray(anchor_plane)
+
+    s = jax.nn.sigmoid(f)
+    e = jnp.exp(f)
+    dec = jnp.where(is_xy, (s + off) * float(stride),
+                    jnp.where(is_wh, e * anchor_plane, s))
+    # corners: x0y0 (lanes 0,1) = cxcy - wh/2; x1y1 (lanes 2,3) = cxcy + wh/2
+    # (rolls by 2 stay within each anchor's (5+C)-lane block for the lanes
+    # selected; other lanes are discarded by the where)
+    fwd = jnp.roll(dec, -2, axis=-1)  # lane k sees k+2 (wh from xy lanes)
+    bwd = jnp.roll(dec, 2, axis=-1)   # lane k sees k-2 (cx cy from wh lanes)
+    out = jnp.where(is_xy, dec - 0.5 * fwd,
+                    jnp.where(is_wh, bwd + 0.5 * dec, dec))
+    return out.reshape(n, gh * gw * num_anchors, d)
+
+
 def decode_detections(feature_maps: Sequence[jnp.ndarray],
                       anchors: Sequence[Tuple[float, float]],
                       number_classes: int,
@@ -68,27 +113,9 @@ def decode_detections(feature_maps: Sequence[jnp.ndarray],
 
     Output rows are [x0, y0, x1, y1, objectness, class_probs...] with corners
     deliberately unclipped (reference/model.py:169-212 comments the clip out;
-    host post-processing clips).
+    host post-processing clips). Rows are ordered (scale, cell, anchor)
+    exactly as the reference flattens them.
     """
-    boxes_all: List[jnp.ndarray] = []
-    obj_all: List[jnp.ndarray] = []
-    probs_all: List[jnp.ndarray] = []
-    num_anchors = len(anchors)
-
-    for fm, stride in zip(feature_maps, strides):
-        _, boxes, obj_logits, class_logits = reorg_feature_map(
-            fm, anchors, number_classes, stride)
-        n, gh, gw = boxes.shape[0], boxes.shape[1], boxes.shape[2]
-        flat = gh * gw * num_anchors
-        boxes_all.append(boxes.reshape(n, flat, 4))
-        obj_all.append(jax.nn.sigmoid(obj_logits.reshape(n, flat, 1)))
-        probs_all.append(jax.nn.sigmoid(class_logits.reshape(n, flat, number_classes)))
-
-    boxes = jnp.concatenate(boxes_all, axis=1)
-    objectness = jnp.concatenate(obj_all, axis=1)
-    class_probs = jnp.concatenate(probs_all, axis=1)
-
-    half_wh = boxes[..., 2:4] / 2.0
-    corners = jnp.concatenate(
-        [boxes[..., 0:2] - half_wh, boxes[..., 0:2] + half_wh], axis=-1)
-    return jnp.concatenate([corners, objectness, class_probs], axis=-1)
+    return jnp.concatenate(
+        [_decode_fm_packed(fm, anchors, number_classes, stride)
+         for fm, stride in zip(feature_maps, strides)], axis=1)
