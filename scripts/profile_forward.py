@@ -30,6 +30,9 @@ def main(argv=None):
     parser.add_argument("--steps", type=int, default=3)
     parser.add_argument("--top", type=int, default=25)
     parser.add_argument("--trace_dir", type=str, default=None)
+    parser.add_argument("--train", action="store_true",
+                        help="profile the training step (fwd+bwd+adam) "
+                             "instead of the inference forward")
     args = parser.parse_args(argv)
 
     import jax
@@ -47,13 +50,47 @@ def main(argv=None):
     cfg = ModelConfig(img_size=(args.img, args.img, 3), number_classes=2,
                       anchors=((64, 384), (384, 64)),
                       compute_dtype="bfloat16")
-    model = YoloV3Detector(cfg)
-    variables = jax.jit(lambda k: model.init(
-        k, jnp.zeros((1, args.img, args.img, 3), jnp.float32),
-        train=False))(jax.random.PRNGKey(0))
-    fn = jax.jit(lambda im: model.apply(variables, im, train=False))
-    x = jnp.asarray(np.random.RandomState(0).randn(
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(
         args.batch, args.img, args.img, 3).astype(np.float32))
+
+    if args.train:
+        from yolov3_tpu.config import TrainConfig
+        from yolov3_tpu.data.encoder import encode_boxes
+        from yolov3_tpu.models.yolo import YoloV3
+        from yolov3_tpu.parallel import (create_train_state, make_mesh,
+                                         make_train_step, replicate_to_mesh,
+                                         shard_batch)
+
+        tcfg = TrainConfig(batch_size=args.batch)
+        fm_model = YoloV3(cfg)
+        mesh = make_mesh(n_devices=1)
+        state = create_train_state(fm_model, tcfg, jax.random.PRNGKey(0),
+                                   (1, args.img, args.img, 3))
+        state = replicate_to_mesh(state, mesh)
+        step = make_train_step(fm_model, cfg, tcfg, mesh, args.batch)
+        labels = encode_boxes(np.array([[64, 64, 128, 128, 0]], np.float32),
+                              cfg.img_size, cfg.anchors, cfg.number_classes)
+        tbatch = shard_batch(
+            (np.asarray(x),
+             np.stack([labels[0]] * args.batch),
+             np.stack([labels[1]] * args.batch),
+             np.stack([labels[2]] * args.batch)), mesh)
+        lr = jnp.float32(1e-4)
+
+        def fn(_):
+            nonlocal state
+            state, m = step(state, tbatch, lr)
+            return m["loss"]
+
+        lower_fn = lambda: step.lower(state, tbatch, lr)
+    else:
+        model = YoloV3Detector(cfg)
+        variables = jax.jit(lambda k: model.init(
+            k, jnp.zeros((1, args.img, args.img, 3), jnp.float32),
+            train=False))(jax.random.PRNGKey(0))
+        fn = jax.jit(lambda im: model.apply(variables, im, train=False))
+        lower_fn = lambda: fn.lower(x)
 
     print("compiling...", flush=True)
     jax.block_until_ready(fn(x))
@@ -81,7 +118,7 @@ def main(argv=None):
                 and not name.startswith("jit_") and "block_until" not in name):
             durs[name] += e["dur"]
 
-    hlo = fn.lower(x).compile().as_text()
+    hlo = lower_fn().compile().as_text()
 
     def layer_of(fusion_name):
         m = re.search(r"%" + re.escape(fusion_name)

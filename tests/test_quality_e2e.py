@@ -105,3 +105,13 @@ def test_overfit_toy_dataset_reaches_high_map(tmp_path, rng):
     assert result["mAP"] >= 0.9, (
         f"trained model does not find the planted objects: "
         f"mAP@0.5={result['mAP']:.3f} (per-class {result['per_class_ap']})")
+
+    # the int8 post-training-quantized serving path must find the same
+    # objects (quality gate for the quantized deployment path)
+    pred8_dir = str(tmp_path / "pred_int8")
+    inference(img_dir, "png", path, pred8_dir, min_box_size=8,
+              batch_size=N_IMAGES, use_int8=True)
+    result8 = evaluate_folders(pred8_dir, gt_dir, iou_threshold=0.5)
+    assert result8["mAP"] >= 0.9, (
+        f"int8-quantized model loses the planted objects: "
+        f"mAP@0.5={result8['mAP']:.3f} (bf16 was {result['mAP']:.3f})")
