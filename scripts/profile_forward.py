@@ -112,26 +112,37 @@ def main(argv=None):
         trace = json.load(fh)
 
     durs = collections.Counter()
+    host_markers = ("np.", "PjitFunction", "DevicePut", "jit(", "jit_",
+                    "block_until", "$", "Thunk", "TransferTo",
+                    "copy_to_host")
     for e in trace.get("traceEvents", []):
         name = e.get("name", "")
-        if (e.get("ph") == "X" and "dur" in e and not name.startswith("$")
-                and not name.startswith("jit_") and "block_until" not in name):
+        if (e.get("ph") == "X" and "dur" in e
+                and not any(m in name for m in host_markers)):
             durs[name] += e["dur"]
 
     hlo = lower_fn().compile().as_text()
 
+    info = {}
+    head = re.compile(r"%(\S+) = (\S+) (?:[a-z\-]*fusion|copy|"
+                      r"convolution)\(")
+    op_re = re.compile(r"op_name=\"([^\"]*)\"")
+    for line in hlo.splitlines():
+        m = head.search(line)
+        if m:
+            op = op_re.search(line)
+            info[m.group(1)] = (m.group(2), op.group(1) if op else "?")
+
     def layer_of(fusion_name):
-        m = re.search(r"%" + re.escape(fusion_name)
-                      + r" = (\S+) fusion.*?op_name=\"([^\"]*)\"", hlo)
-        if not m:
-            return "?"
-        return m.group(1)[:30] + " " + "/".join(m.group(2).split("/")[-3:])
+        shape, op = info.get(fusion_name, ("?", "?"))
+        return shape[:30] + " " + "/".join(op.split("/")[-3:])
 
     total = sum(durs.values()) / args.steps / 1e3
     print(f"\ndevice total: {total:.2f} ms/step "
           f"({args.batch / total * 1000:.0f} img/s)")
     for name, d in durs.most_common(args.top):
-        print(f"{d / args.steps / 1e3:8.2f} ms/step  {layer_of(name)[:100]}")
+        print(f"{d / args.steps / 1e3:8.2f} ms/step  {name[:44]:44s} "
+              f"{layer_of(name)[:80]}")
 
     if args.trace_dir is None:
         shutil.rmtree(trace_dir, ignore_errors=True)
