@@ -136,7 +136,28 @@ def main() -> None:
     emit(f"inference_int8_images_per_sec_512x512_b{batch}",
          batch / dt, "images/sec/chip")
 
+    # full serving program (forward + decode + clip + device NMS), int8
+    from yolov3_tpu.ops.nms import batched_nms_device
+
+    @jax.jit
+    def serve_int8(images):
+        det = detect_int8(images)
+        clipped = jnp.concatenate([
+            jnp.clip(det[..., 0:1], 0, 512),
+            jnp.clip(det[..., 1:2], 0, 512),
+            jnp.clip(det[..., 2:3], 0, 512),
+            jnp.clip(det[..., 3:4], 0, 512),
+            det[..., 4:],
+        ], axis=-1)
+        return batched_nms_device(clipped, cfg.number_classes,
+                                  iou_threshold=0.3, score_threshold=0.1,
+                                  max_boxes=512, min_box_size=32.0)
+
     x64 = jnp.asarray(rng.randn(64, 512, 512, 3).astype(np.float32))
+    dt = time_fn(serve_int8, x64, 20, lambda o: o[0][0, 0, 0, :2])
+    emit("serving_int8_images_per_sec_512x512_b64_incl_nms",
+         64 / dt, "images/sec/chip")
+
     dt = time_fn(detect_int8, x64, 20, lambda o: o[0, 0, :2])
     emit("inference_int8_images_per_sec_512x512_b64",
          64 / dt, "images/sec/chip")

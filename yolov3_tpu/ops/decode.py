@@ -17,10 +17,11 @@ the image size), so a scalar stride is exact.
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def reorg_feature_map(feature_map: jnp.ndarray,
@@ -69,8 +70,6 @@ def _decode_fm_packed(fm: jnp.ndarray,
     [N, gh, gw, A*(5+C)] layout: the 5D slice/concat intermediates (2- and
     4-lane tensors that force relayout copies on TPU) never materialize.
     Returns [N, gh*gw*A, 5+C] rows [x0,y0,x1,y1,obj,probs...]."""
-    import numpy as np
-
     num_anchors = len(anchors)
     d = 5 + number_classes
     n, gh, gw, _ = fm.shape
