@@ -127,8 +127,12 @@ def _conv_raw(ctx: _Ctx, name: str, x: Array, w: Array, stride,
             sx = jnp.float32(ctx.act_scales[name])
             wq, sw = _quantize_weight(w)
             # NOTE(measured, v5e b32): lowering 1x1 convs to
-            # reshape+dot_general REGRESSES the full model 17.8 -> 23.8 ms —
-            # the reshape on the packed int8 layout forces relayout copies.
+            # reshape+dot_general REGRESSES the full model (16.8 -> 23.8 ms
+            # n-major flatten; 26.3 ms even with a transpose-view matching
+            # the conv layout {3,0,2,1} — XLA materializes the transposes
+            # either way). The conv form's ~0.2 ms/op fused-epilogue floor
+            # stands; cross-op fusion needs custom-call layout control
+            # (DESIGN.md round-2b).
             y = jax.lax.conv_general_dilated(
                 _quantize_act(x, sx), wq, strides, padding,
                 dimension_numbers=_DN, preferred_element_type=jnp.int32)
