@@ -83,15 +83,21 @@ bool load_index(Reader* r, const std::string& idx_path) {
     std::memcpy(&klen, blob.data() + pos, 4);
     pos += 4;
     if (pos + klen + 16 > blob.size()) return false;
+    const uint8_t* blob_key = blob.data() + pos;
     pos += klen;
     Entry e;
     std::memcpy(&e.offset, blob.data() + pos, 8);
     std::memcpy(&e.length, blob.data() + pos + 8, 8);
     pos += 16;
     if (e.offset + e.length > r->map_len) return false;  // stale
-    // key pointer aims into the mapped data log (klen bytes precede the
-    // value at offset); the map key views the same mmap bytes
+    // the value at offset is preceded in the log by its key bytes
+    // (scan_log layout: [klen][vlen][key][value]); bounds-check the
+    // implied key position BEFORE dereferencing, and verify the log's
+    // key bytes match the index's copy — a truncated rewrite or an index
+    // paired with the wrong data log must fail load, not corrupt lookups
+    if (e.offset < kMagicLen + 12 + (uint64_t)klen) return false;
     const uint8_t* kptr = r->map + e.offset - klen;
+    if (std::memcmp(kptr, blob_key, klen) != 0) return false;
     r->keys.emplace_back(kptr, klen);
     r->table.emplace(std::string_view((const char*)kptr, klen), e);
   }

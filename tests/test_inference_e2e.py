@@ -96,6 +96,24 @@ class TestInferenceCli:
         with open(os.path.join(out_dir, "big.csv")) as fh:
             assert fh.readline().strip() == "X,Y,W,H,P,C"
 
+    def test_int8_host_and_device_nms_agree(self, exported_model, tmp_path,
+                                            rng):
+        """--int8 respects --host_nms: the int8 detector + host NMS path
+        produces the same boxes as the fused int8 device-NMS path."""
+        path, _ = exported_model
+        img_dir = str(tmp_path / "imgs8")
+        write_images(img_dir, rng, 2)
+        out_a = str(tmp_path / "out8_device")
+        out_b = str(tmp_path / "out8_host")
+        inference(img_dir, "png", path, out_a, min_box_size=4,
+                  batch_size=2, use_int8=True)
+        inference(img_dir, "png", path, out_b, min_box_size=4,
+                  batch_size=2, use_int8=True, use_host_nms=True)
+        for fn in os.listdir(out_a):
+            a = bbox.load_boxes_to_xywhc(os.path.join(out_a, fn))
+            b = bbox.load_boxes_to_xywhc(os.path.join(out_b, fn))
+            np.testing.assert_array_equal(a, b)
+
     def test_tiled_inference_int8_csv(self, exported_model, tmp_path, rng):
         """--int8 tiled path: calibrates on the first image's tiles and
         produces the same CSV schema as the bf16 path."""

@@ -32,7 +32,6 @@ from yolov3_tpu.data.augment import BOX_MIN_EXTENT
 from yolov3_tpu.data.encoder import MAX_BOXES, pad_boxes  # noqa: F401
 
 Array = jnp.ndarray
-MAX_BOXES = 64  # fixed per-image box capacity for static shapes
 
 
 # ---------------------------------------------------------------------------
@@ -310,15 +309,3 @@ def preprocess_batch(images: Array, boxes: Array, valid: Array, key: Array,
         lambda bx, v: encode_labels_device(bx, v, image_size, anchors,
                                            number_classes))(boxes, valid)
     return (images, labels[0], labels[1], labels[2])
-
-
-def pad_boxes(box_arr: np.ndarray, max_boxes: int = MAX_BOXES
-              ) -> Tuple[np.ndarray, np.ndarray]:
-    """Host helper: ragged [N,5] -> fixed ([M,5], valid [M]); overflow boxes
-    beyond `max_boxes` are dropped."""
-    n = min(box_arr.shape[0], max_boxes)
-    out = np.zeros((max_boxes, 5), np.float32)
-    val = np.zeros((max_boxes,), bool)
-    out[:n] = box_arr[:n]
-    val[:n] = True
-    return out, val

@@ -67,7 +67,12 @@ def make_detector_fn(saved_model_filepath: str, num_devices: int = 1):
 
     if num_devices <= 1:
         return detect, cfg
+    return shard_detector(detect, num_devices), cfg
 
+
+def shard_detector(detect, num_devices: int):
+    """Wrap a detector fn so image batches shard across a data-parallel
+    mesh (padded up to a multiple of the chip count)."""
     from yolov3_tpu.parallel.mesh import batch_sharding, make_mesh
     mesh = make_mesh(n_devices=num_devices)
     n = mesh.devices.size
@@ -82,7 +87,7 @@ def make_detector_fn(saved_model_filepath: str, num_devices: int = 1):
         out = detect(jax.device_put(jnp.asarray(images), sharding))
         return out[:b]
 
-    return detect_sharded, cfg
+    return detect_sharded
 
 
 def make_serving_fn(saved_model_filepath: str,
@@ -187,7 +192,14 @@ def inference(image_folder: str, image_format: str,
                    if fn.endswith(f".{image_format}"))
     paths = [os.path.join(image_folder, fn) for fn in files]
 
-    serve = None  # int8 path: built after the first batch (calibration)
+    # int8 variants calibrate on the first batch, so they build lazily;
+    # the fully-fused serve program (forward+decode+clip+NMS in one XLA
+    # call) serves the plain case, while --host_nms / --num-devices with
+    # --int8 swap in the int8 DETECTOR and share the generic post-
+    # processing path so those flags keep their meaning
+    serve = None
+    detect = cfg = None
+    int8_fused = use_int8 and not use_host_nms and num_devices <= 1
     if not use_int8:
         detect, cfg = make_detector_fn(saved_model_filepath, num_devices)
 
@@ -198,10 +210,7 @@ def inference(image_folder: str, image_format: str,
         images = [ensure_hwc(imread(fp)) for fp in chunk]
         batch = zscore_batch(jnp.asarray(np.stack(images)))  # NHWC, on device
 
-        if use_int8:
-            # int8 quantized fused path (v5e doubles MXU rate at int8):
-            # forward + decode + clip + small-box filter + NMS in one
-            # program; activation scales calibrate on the first batch
+        if int8_fused:
             if serve is None:
                 from yolov3_tpu.models.quantized import (
                     make_quantized_serving_fn)
@@ -225,6 +234,13 @@ def inference(image_folder: str, image_format: str,
                 rows_per_image.append(np.concatenate(
                     [boxes, labels.reshape(-1, 1)], axis=-1).astype(np.int32))
         else:
+            if detect is None:  # int8 non-fused: calibrate on first batch
+                from yolov3_tpu.models.quantized import (
+                    make_quantized_detector_fn)
+                detect, cfg = make_quantized_detector_fn(
+                    saved_model_filepath, batch)
+                if num_devices > 1:
+                    detect = shard_detector(detect, num_devices)
             dets = np.asarray(detect(batch))
             rows_per_image = [
                 detections_to_csv_rows(det, img.shape[:2], min_box_size,

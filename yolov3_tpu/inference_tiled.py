@@ -125,6 +125,9 @@ def inference_image_folder(image_folder: str, image_format: str,
         tiles0, _, _ = convert_image_to_tiles(img0, tile_size, edge_range)
         calib = zscore_batch(jnp.asarray(np.stack(tiles0[:8])))
         detect, cfg = make_quantized_detector_fn(saved_model_filepath, calib)
+        if num_devices > 1:
+            from yolov3_tpu.inference import shard_detector
+            detect = shard_detector(detect, num_devices)
     else:
         detect, cfg = make_detector_fn(saved_model_filepath, num_devices)
     expected_hw = (cfg.img_size[0], cfg.img_size[1])

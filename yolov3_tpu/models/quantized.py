@@ -510,10 +510,14 @@ def make_quantized_serving_fn(saved_model_filepath: str,
         min_box_size = icfg.min_box_size
     params, batch_stats, cfg = ckpt.load_model(saved_model_filepath)
     scales = calibrate(params, batch_stats, cfg, calib_images)
-    img_h, img_w = cfg.img_size[0], cfg.img_size[1]
 
     @jax.jit
     def serve(images: Array):
+        # clip to the ACTUAL image bounds (static per compile), not
+        # cfg.img_size: the network is fully convolutional and serves
+        # image sizes other than the export size (matches the bf16 CLI's
+        # host-side clip, reference/inference.py:62-65 fixed)
+        img_h, img_w = images.shape[1], images.shape[2]
         fms = forward_feature_maps(params, batch_stats, cfg, images,
                                    act_scales=scales)
         det = decode_detections(fms, cfg.anchors, cfg.number_classes,
