@@ -69,14 +69,20 @@ def main() -> None:
         }), flush=True)
 
     def time_fn(fn, x, iters, final_buf):
-        """iters dispatches; clock stops on device_get of final_buf(out)."""
+        """iters dispatches; clock stops on device_get of final_buf(out).
+        Best of two passes: the axon tunnel occasionally degrades for a
+        window (measured: a 450 ms/call blip on an otherwise-25 ms
+        program), which must not end up as the recorded number."""
         jax.device_get(final_buf(fn(x)))
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(iters):
-            out = fn(x)
-        jax.device_get(final_buf(out))
-        return (time.perf_counter() - t0) / iters
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(iters):
+                out = fn(x)
+            jax.device_get(final_buf(out))
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
 
     # ---- bf16 inference, batch 32 ----
     batch = 32
@@ -113,12 +119,14 @@ def main() -> None:
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     jax.device_get(leaf[..., :1])
     iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, _ = step(state, tbatch, lr)
-    # block on an updated param: produced at the END of the step program
-    jax.device_get(jax.tree_util.tree_leaves(state.params)[0][..., :1])
-    dt = (time.perf_counter() - t0) / iters
+    dt = float("inf")
+    for _ in range(2):  # best of two passes (see time_fn)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, _ = step(state, tbatch, lr)
+        # block on an updated param: produced at the END of the step program
+        jax.device_get(jax.tree_util.tree_leaves(state.params)[0][..., :1])
+        dt = min(dt, (time.perf_counter() - t0) / iters)
     emit(f"train_images_per_sec_512x512_b{tb}", tb / dt, "images/sec/chip")
     del state, tbatch, step
 
