@@ -129,6 +129,24 @@ class TestInferenceCli:
         with open(os.path.join(out_dir, "big.csv")) as fh:
             assert fh.readline().strip() == "X,Y,W,H,P,C"
 
+    def test_int8_serving_clips_to_actual_image_size(self, exported_model,
+                                                     rng):
+        """The fused int8 serving program clips to the images it is given
+        (the network is fully convolutional), not the 64px export size."""
+        from yolov3_tpu.models.quantized import make_quantized_serving_fn
+        path, _ = exported_model
+        calib = rng.rand(2, 128, 128, 3).astype(np.float32)
+        serve, cfg, _ = make_quantized_serving_fn(path, calib,
+                                                  min_box_size=1)
+        boxes, scores, keep = serve(rng.rand(2, 128, 128, 3)
+                                    .astype(np.float32))
+        kept = np.asarray(boxes)[np.asarray(keep)]
+        assert kept.shape[0] > 0
+        # corners clipped to 128, and some detections live beyond the
+        # 64px export size (proving the clip was not cfg.img_size)
+        assert kept.max() <= 128.0 + 1e-5
+        assert kept.max() > 64.0 + 1e-5
+
     def test_tile_size_mismatch_raises(self, exported_model, tmp_path, rng):
         path, _ = exported_model
         img_dir = str(tmp_path / "imgs3")

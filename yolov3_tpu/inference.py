@@ -183,7 +183,8 @@ def inference(image_folder: str, image_format: str,
               num_devices: int = 1,
               overlay_folder: Optional[str] = None,
               icfg: Optional[InferenceConfig] = None,
-              use_int8: bool = False) -> None:
+              use_int8: bool = False,
+              calib_percentile=None) -> None:
     os.makedirs(output_folder, exist_ok=True)
     icfg = icfg or InferenceConfig(min_box_size=min_box_size)
     image_format = image_format.lstrip(".")
@@ -216,7 +217,8 @@ def inference(image_folder: str, image_format: str,
                     make_quantized_serving_fn)
                 serve, cfg, _ = make_quantized_serving_fn(
                     saved_model_filepath, batch, icfg=icfg,
-                    min_box_size=min_box_size)
+                    min_box_size=min_box_size,
+                    calib_percentile=calib_percentile)
             pad = batch_size - batch.shape[0]
             if pad > 0:  # keep shapes static on the final chunk
                 batch = jnp.concatenate(
@@ -238,7 +240,8 @@ def inference(image_folder: str, image_format: str,
                 from yolov3_tpu.models.quantized import (
                     make_quantized_detector_fn)
                 detect, cfg = make_quantized_detector_fn(
-                    saved_model_filepath, batch)
+                    saved_model_filepath, batch,
+                    calib_percentile=calib_percentile)
                 if num_devices > 1:
                     detect = shard_detector(detect, num_devices)
             dets = np.asarray(detect(batch))
@@ -282,6 +285,10 @@ def main(argv=None) -> None:
                         help="also write detection-overlay PNGs to this folder")
     parser.add_argument("--host_nms", action="store_true",
                         help="run NMS on the host (numpy) instead of on device")
+    parser.add_argument("--calib-percentile", type=float, default=None,
+                        help="int8 activation-scale calibration clips each "
+                             "tensor's range at this percentile of "
+                             "|activations| (default: absmax)")
     parser.add_argument("--int8", action="store_true",
                         help="serve the int8 post-training-quantized path "
                              "(activation scales calibrate on the first "
@@ -301,7 +308,7 @@ def main(argv=None) -> None:
               overlay_folder=args.save_overlays,
               icfg=InferenceConfig(min_box_size=args.min_box_size,
                                    max_boxes_per_class=args.max_boxes),
-              use_int8=args.int8)
+              use_int8=args.int8, calib_percentile=args.calib_percentile)
 
 
 if __name__ == "__main__":

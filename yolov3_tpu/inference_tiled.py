@@ -109,7 +109,8 @@ def inference_image_folder(image_folder: str, image_format: str,
                            edge_range: int = EDGE_EFFECT_RANGE,
                            num_devices: int = 1,
                            icfg: Optional[InferenceConfig] = None,
-                           use_int8: bool = False) -> None:
+                           use_int8: bool = False,
+                           calib_percentile=None) -> None:
     if not os.path.exists(saved_model_filepath):
         raise RuntimeError("Missing saved model filepath")
     image_format = image_format.lstrip(".")
@@ -124,7 +125,8 @@ def inference_image_folder(image_folder: str, image_format: str,
         img0 = ensure_hwc(imread(paths[0]))
         tiles0, _, _ = convert_image_to_tiles(img0, tile_size, edge_range)
         calib = zscore_batch(jnp.asarray(np.stack(tiles0[:8])))
-        detect, cfg = make_quantized_detector_fn(saved_model_filepath, calib)
+        detect, cfg = make_quantized_detector_fn(
+            saved_model_filepath, calib, calib_percentile=calib_percentile)
         if num_devices > 1:
             from yolov3_tpu.inference import shard_detector
             detect = shard_detector(detect, num_devices)
@@ -172,6 +174,8 @@ def main(argv=None) -> None:
     parser.add_argument("--max-boxes", type=int, default=512,
                         help="per-class candidate cap for the device NMS")
     parser.add_argument("--host_nms", action="store_true")
+    parser.add_argument("--calib-percentile", type=float, default=None,
+                        help="int8 calibration percentile (default absmax)")
     parser.add_argument("--int8", action="store_true",
                         help="serve the int8 post-training-quantized path "
                              "(activation scales calibrate on tiles of the "
@@ -192,7 +196,8 @@ def main(argv=None) -> None:
                            icfg=InferenceConfig(
                                min_box_size=args.min_box_size,
                                max_boxes_per_class=args.max_boxes),
-                           use_int8=args.int8)
+                           use_int8=args.int8,
+                           calib_percentile=args.calib_percentile)
 
 
 if __name__ == "__main__":

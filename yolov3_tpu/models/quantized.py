@@ -471,7 +471,8 @@ def calibrate(params: dict, batch_stats: dict, cfg: ModelConfig,
 
 
 def make_quantized_detector_fn(saved_model_filepath: str,
-                               calib_images: Array):
+                               calib_images: Array,
+                               calib_percentile: Optional[float] = None):
     """int8 twin of `inference.make_detector_fn`: detect(images NHWC f32)
     -> decoded detections [B, num_boxes, 4+1+C] (no NMS — callers like the
     tiled pipeline run their own per-tile NMS). `calib_images`: a
@@ -479,7 +480,8 @@ def make_quantized_detector_fn(saved_model_filepath: str,
     from yolov3_tpu.utils import checkpoint as ckpt
 
     params, batch_stats, cfg = ckpt.load_model(saved_model_filepath)
-    scales = calibrate(params, batch_stats, cfg, calib_images)
+    scales = calibrate(params, batch_stats, cfg, calib_images,
+                       percentile=calib_percentile)
 
     @jax.jit
     def detect(images: Array) -> Array:
@@ -494,7 +496,8 @@ def make_quantized_detector_fn(saved_model_filepath: str,
 def make_quantized_serving_fn(saved_model_filepath: str,
                               calib_images: Array,
                               icfg: Optional[InferenceConfig] = None,
-                              min_box_size: Optional[int] = None):
+                              min_box_size: Optional[int] = None,
+                              calib_percentile: Optional[float] = None):
     """int8 twin of `inference.make_serving_fn`: ONE jitted program from
     z-scored images to (boxes, scores, keep) — int8 backbone/neck convs,
     bf16 heads, f32 decode, device NMS.
@@ -509,7 +512,8 @@ def make_quantized_serving_fn(saved_model_filepath: str,
     if min_box_size is None:
         min_box_size = icfg.min_box_size
     params, batch_stats, cfg = ckpt.load_model(saved_model_filepath)
-    scales = calibrate(params, batch_stats, cfg, calib_images)
+    scales = calibrate(params, batch_stats, cfg, calib_images,
+                       percentile=calib_percentile)
 
     @jax.jit
     def serve(images: Array):
