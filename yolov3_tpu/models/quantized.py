@@ -337,11 +337,11 @@ def _yolo_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
 def _s2d_region(ctx: _Ctx, p: dict, bs: dict, x: Array) -> Array:
     """Mirror of `_s2d_region_apply` (inference path) in any mode."""
     d = "Darknet53_0"
-    xs = Y.space_to_depth(x.astype(ctx.dtype))
-    k1 = Y._s2d_kernel_stride1(p[d]["ConvBlock_0"]["Conv_0"]["kernel"])
+    # stem1 consumes the RAW image directly (see _s2d_kernel_stem1_direct)
+    k4 = Y._s2d_kernel_stem1_direct(p[d]["ConvBlock_0"]["Conv_0"]["kernel"])
     y = _conv_block(ctx, f"{d}/ConvBlock_0", p[d]["ConvBlock_0"],
-                    bs[d]["ConvBlock_0"], xs, kernel_override=k1,
-                    padding=((1, 1), (1, 1)), out_tile=4)
+                    bs[d]["ConvBlock_0"], x, stride=2, kernel_override=k4,
+                    padding=((1, 2), (1, 2)), out_tile=4)
     k2 = Y._s2d_kernel_stride2_stay(p[d]["ConvBlock_1"]["Conv_0"]["kernel"])
     y = _conv_block(ctx, f"{d}/ConvBlock_1", p[d]["ConvBlock_1"],
                     bs[d]["ConvBlock_1"], y, stride=2, kernel_override=k2,
