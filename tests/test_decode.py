@@ -79,6 +79,30 @@ class TestDecodeDetections:
         assert det[0, 0, 4] == pytest.approx(0.5)
         assert det[0, 0, 5] == pytest.approx(0.5)
 
+    def test_random_logits_match_numpy_oracle(self, rng):
+        """Full packed decode vs oracle-derived corners on RANDOM logits at
+        every anchor/scale — guards the lane-aligned roll/where machinery in
+        _decode_fm_packed (a lane-alignment bug for anchors > 0 is invisible
+        to the zero-logit tests)."""
+        num_classes = 3
+        a = len(ANCHORS)
+        h = w = 64
+        fms = [rng.randn(2, h // s, w // s, a * (5 + num_classes))
+               .astype(np.float32) for s in (32, 16, 8)]
+        det = np.asarray(decode_detections(fms, ANCHORS, num_classes,
+                                           strides=(32, 16, 8)))
+        rows = []
+        for fm, stride in zip(fms, (32, 16, 8)):
+            boxes, obj, cls = numpy_reorg(fm, ANCHORS, num_classes, stride)
+            cxy, wh = boxes[..., 0:2], boxes[..., 2:4]
+            corners = np.concatenate(
+                [cxy - 0.5 * wh, cxy + 0.5 * wh], axis=-1)
+            full = np.concatenate(
+                [corners, _sigmoid(obj), _sigmoid(cls)], axis=-1)
+            rows.append(full.reshape(fm.shape[0], -1, 5 + num_classes))
+        want = np.concatenate(rows, axis=1)
+        np.testing.assert_allclose(det, want, rtol=1e-4, atol=1e-4)
+
     def test_corners_not_clipped(self):
         """Reference leaves decode corners unclipped (reference/model.py:202-208)."""
         num_classes = 1

@@ -147,6 +147,21 @@ class TestInferenceCli:
         assert kept.max() <= 128.0 + 1e-5
         assert kept.max() > 64.0 + 1e-5
 
+    def test_bf16_serving_clips_to_actual_image_size(self, exported_model,
+                                                     rng):
+        """bf16 twin of the int8 test: the fused serving program clips to
+        the served image's bounds, not the 64px export size (round-2 weak
+        item: it used cfg.img_size while the int8 path used images.shape)."""
+        from yolov3_tpu.inference import make_serving_fn
+        path, _ = exported_model
+        serve, cfg = make_serving_fn(path, min_box_size=1)
+        boxes, scores, keep = serve(rng.rand(2, 128, 128, 3)
+                                    .astype(np.float32))
+        kept = np.asarray(boxes)[np.asarray(keep)]
+        assert kept.shape[0] > 0
+        assert kept.max() <= 128.0 + 1e-5
+        assert kept.max() > 64.0 + 1e-5
+
     def test_tile_size_mismatch_raises(self, exported_model, tmp_path, rng):
         path, _ = exported_model
         img_dir = str(tmp_path / "imgs3")

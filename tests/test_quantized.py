@@ -74,6 +74,46 @@ class TestCalibration:
         for fm in fms:
             assert np.isfinite(np.asarray(fm, np.float32)).all()
 
+    def test_histogram_percentile_dense_matches_exact(self):
+        """On dense data (real activation sizes) the O(bins) histogram
+        percentile tracks jnp.percentile within a bin or two."""
+        rng = np.random.RandomState(3)
+        pct = 99.5
+        for sample in (np.abs(rng.randn(200_000)),
+                       rng.lognormal(0.0, 1.0, 200_000)):  # heavy tail
+            a = jnp.asarray(sample.astype(np.float32))
+            m = jnp.maximum(jnp.max(a), 1e-30)
+            idx = jnp.minimum((a * (Q._HIST_BINS / m)).astype(jnp.int32),
+                              Q._HIST_BINS - 1)
+            counts = jnp.zeros((Q._HIST_BINS,), jnp.int32).at[idx].add(1)
+            got = float(Q._hist_percentile(counts, m, pct))
+            want = float(jnp.percentile(a, pct))
+            binw = float(m) / Q._HIST_BINS
+            assert abs(got - want) <= 2 * binw, (got, want, binw)
+
+    def test_histogram_percentile_bracketed_on_model(self):
+        """Model-level guard: each layer's histogram percentile must land
+        between the exact bracketing order statistics (± one bin), however
+        tiny the layer's activation tensor."""
+        cfg, model, variables, x = make_model(True)
+        p, bs = variables["params"], variables["batch_stats"]
+        # exact oracle: collect the raw |activations| (toy sizes only!)
+        collect = {}
+        Q.forward_feature_maps(p, bs, cfg, x, collect=collect,
+                               collect_reduce="abs")
+        pct = 99.0
+        hist = Q.calibrate(p, bs, cfg, x, percentile=pct)
+        for k, s in hist.items():
+            got = s * 127.0  # calibrate divides by 127
+            v = np.sort(np.asarray(collect[k], np.float32))
+            n = v.size
+            h = (n - 1) * pct / 100.0
+            lo = v[int(np.floor(h))]
+            hi = v[min(int(np.ceil(h)) + 1, n - 1)]
+            binw = float(v[-1]) / Q._HIST_BINS
+            assert lo - binw <= got <= hi + binw, (
+                f"{k}: hist {got} outside [{lo}, {hi}] ± {binw}")
+
     def test_missing_scale_raises(self):
         cfg, model, variables, x = make_model(False)
         with pytest.raises(KeyError):
@@ -106,6 +146,32 @@ class TestInt8Exactness:
         got = Q._conv_block(ctx_q, "c", p, bs, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
+
+    def test_zero_weight_channel_keeps_bias_precision(self):
+        """An all-zero weight output channel must still contribute its
+        bias/BN term exactly: the dq epilogue fold (b/dq then *dq) would
+        destroy float32 precision if dq were floored at ~1e-14 for that
+        channel (advisor round-2 finding)."""
+        rng = np.random.RandomState(2)
+        c_in, c_out = 8, 8
+        w = rng.randn(1, 1, c_in, c_out).astype(np.float32) * 0.05
+        w[..., 3] = 0.0  # dead output channel
+        x = rng.randn(1, 4, 4, c_in).astype(np.float32)
+        cfg = ModelConfig(img_size=(64, 64, 3), number_classes=1,
+                          anchors=(ANCHORS[0],), compute_dtype="float32")
+        p = {"Conv_0": {"kernel": jnp.asarray(w),
+                        "bias": jnp.asarray(
+                            rng.randn(c_out).astype(np.float32))},
+             "BatchNorm_0": {"scale": jnp.ones((c_out,), jnp.float32),
+                             "bias": jnp.zeros((c_out,), jnp.float32)}}
+        bs = {"BatchNorm_0": {"mean": jnp.zeros((c_out,), jnp.float32),
+                              "var": jnp.ones((c_out,), jnp.float32)}}
+        want = Q._conv_block(Q._Ctx(cfg), "c", p, bs, jnp.asarray(x))
+        got = Q._conv_block(Q._Ctx(cfg, act_scales={"c": 0.1}), "c", p, bs,
+                            jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(got)[..., 3],
+                                   np.asarray(want)[..., 3],
+                                   rtol=1e-6, atol=1e-6)
 
     @pytest.mark.parametrize("s2d", [False, True])
     def test_decode_fidelity_random_weights(self, s2d):

@@ -110,10 +110,15 @@ def make_serving_fn(saved_model_filepath: str,
     model = YoloV3Detector(cfg)
     variables = {"params": {"backbone": params},
                  "batch_stats": {"backbone": batch_stats}}
-    img_h, img_w = cfg.img_size[0], cfg.img_size[1]
 
     @jax.jit
     def serve(images: jnp.ndarray):
+        # clip to the ACTUAL image bounds (static per compile), not
+        # cfg.img_size: the network is fully convolutional and serves image
+        # sizes other than the export size — same rule as the int8 twin
+        # (models/quantized.py make_quantized_serving_fn) and the fixed
+        # host-side clip (reference/inference.py:62-65)
+        img_h, img_w = images.shape[1], images.shape[2]
         det = model.apply(variables, images, train=False)
         clipped = jnp.concatenate([
             jnp.clip(det[..., 0:1], 0, img_w),

@@ -48,7 +48,11 @@ def _quantize_weight(w: Array) -> Tuple[Array, Array]:
     """f32 [kh,kw,ci,co] -> (int8 kernel, per-out-channel scale [co])."""
     w = w.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(w), axis=(0, 1, 2))
-    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    # all-zero output channels quantize to wq == 0 no matter the scale, so
+    # pick scale = 1.0 there: a tiny floor (1e-12/127) would make the
+    # epilogue's b/dq fold blow the channel's bias up to ~1e14*b and lose
+    # its float32 precision through the (b/dq)*(dq*mul) round trip
+    scale = jnp.where(absmax > 0, absmax, 127.0) / 127.0
     wq = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
     return wq, scale
 
@@ -64,6 +68,30 @@ def _quantize_act(x: Array, scale: Array) -> Array:
 
 _DN = jax.lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
                                      ("NHWC", "HWIO", "NHWC"))
+
+# Percentile calibration histogram resolution: linear bins over [0, absmax]
+# per tensor. 4096 bins bound the percentile-edge quantization error at
+# absmax/4096 (~0.025% of range) — far below int8's own 1/127 grid.
+_HIST_BINS = 4096
+
+
+def _hist_percentile(counts: Array, m: Array, pct: float) -> Array:
+    """Percentile of |activations| from a (counts, absmax) histogram, with
+    linear interpolation inside the landing bin.
+
+    Targets numpy's 'linear' rank h = (n-1)*pct/100 (cumulative-count
+    target h+1), so the estimate lands between the same bracketing order
+    statistics as jnp.percentile; accuracy is then one histogram bin when
+    the distribution is dense at the percentile (always true at real
+    activation sizes), and bounded by the local order-statistic gap on
+    tiny tensors."""
+    c = jnp.cumsum(counts.astype(jnp.float32))
+    target = (c[-1] - 1.0) * (pct / 100.0) + 1.0
+    idx = jnp.clip(jnp.searchsorted(c, target), 0, _HIST_BINS - 1)
+    prev = jnp.where(idx > 0, c[jnp.maximum(idx - 1, 0)], 0.0)
+    frac = jnp.clip((target - prev) / jnp.maximum(c[idx] - prev, 1.0),
+                    0.0, 1.0)
+    return (idx.astype(jnp.float32) + frac) * (m / _HIST_BINS)
 
 
 # Conv blocks that stay bf16 in the int8 path by default: stem1 is
@@ -95,11 +123,24 @@ class _Ctx:
         self.collect_reduce = collect_reduce
 
     def record(self, name: str, *tensors: Array) -> None:
-        """Calibration-mode recording: per-tensor absmax, or the flattened
-        |activations| when the caller wants percentile statistics."""
+        """Calibration-mode recording: per-tensor absmax, a fixed-size
+        |activation| histogram ("hist", what percentile calibration uses —
+        O(bins) live memory per conv instead of a full activation copy), or
+        the raw flattened |activations| ("abs", test-oracle only: holding
+        every conv input alive at once OOMs at real sizes)."""
         if self.collect_reduce == "absmax":
             self.collect[name] = jnp.max(jnp.stack(
                 [jnp.max(jnp.abs(t.astype(jnp.float32))) for t in tensors]))
+        elif self.collect_reduce == "hist":
+            avs = [jnp.abs(t.astype(jnp.float32)).ravel() for t in tensors]
+            m = jnp.maximum(
+                jnp.max(jnp.stack([jnp.max(a) for a in avs])), 1e-30)
+            counts = jnp.zeros((_HIST_BINS,), jnp.int32)
+            for a in avs:
+                idx = jnp.minimum((a * (_HIST_BINS / m)).astype(jnp.int32),
+                                  _HIST_BINS - 1)
+                counts = counts.at[idx].add(1)
+            self.collect[name] = (counts, m)
         else:
             self.collect[name] = jnp.concatenate(
                 [jnp.abs(t.astype(jnp.float32)).ravel() for t in tensors])
@@ -453,9 +494,13 @@ def calibrate(params: dict, batch_stats: dict, cfg: ModelConfig,
     Default: absmax (conservative — no clipping, outlier-fragile range).
     `percentile` (e.g. 99.9) instead clips each tensor's range at that
     percentile of |activations| — the standard post-training-quantization
-    quality lever when a layer has heavy-tailed activations."""
+    quality lever when a layer has heavy-tailed activations. Percentiles
+    come from per-tensor fixed-bin histograms reduced inside the jit
+    (O(bins) live memory per conv), not from materializing every conv
+    input's |activations| at once — the latter is gigabytes of f32 live
+    simultaneously at 512^2 and OOMs with realistic calibration batches."""
     collect: Dict[str, Array] = {}
-    reduce_mode = "absmax" if percentile is None else "abs"
+    reduce_mode = "absmax" if percentile is None else "hist"
 
     @jax.jit
     def run(x):
@@ -463,8 +508,8 @@ def calibrate(params: dict, batch_stats: dict, cfg: ModelConfig,
                              collect_reduce=reduce_mode)
         if percentile is None:
             return dict(collect)
-        return {k: jnp.percentile(v, percentile)
-                for k, v in collect.items()}
+        return {k: _hist_percentile(counts, m, percentile)
+                for k, (counts, m) in collect.items()}
 
     vals = jax.device_get(run(jnp.asarray(images)))
     return {k: max(float(v), 1e-12) / 127.0 for k, v in vals.items()}
