@@ -66,11 +66,12 @@ def main(argv=None):
     print("calibrating...", flush=True)
     scales = Q.calibrate(params, bs, cfg, x[:8])
 
-    def make_int8(skip):
+    def make_int8(skip, requant_residual=True):
         @jax.jit
         def f(images):
             fms = Q.forward_feature_maps(params, bs, cfg, images,
-                                         act_scales=scales, quant_skip=skip)
+                                         act_scales=scales, quant_skip=skip,
+                                         requant_residual=requant_residual)
             return decode_detections(fms, cfg.anchors, cfg.number_classes,
                                      cfg.strides)
         return f
@@ -116,6 +117,8 @@ def main(argv=None):
     bench("mirror_bf16", mirror_bf16)
     bench("int8_all", mirror_int8_all)
     bench("int8_skip_stems", mirror_int8)
+    bench("int8_bf16_residual", make_int8(Q.DEFAULT_QUANT_SKIP,
+                                          requant_residual=False))
     bench("int8_deep_only", mirror_int8_deep_only)
     bench("int8_fused", mirror_int8_fused)
     bench("int8_fused_fb2", make_fused(("Darknet53_0/FeatureBlock_2",)))
@@ -179,6 +182,39 @@ def main(argv=None):
         for key, d in by_layer.most_common(70):
             print(f"{d / 3 / 1e3:8.3f} ms/step  {shape_of.get(key, '?')[:44]:44s}"
                   f" {key[:80]}")
+
+        # DUMP_FUSIONS=N: print the HLO bodies of the N slowest device ops
+        # (fusion computations resolved from the optimized module) — the
+        # attribution for the ~0.2 ms 1x1-conv epilogue floor.
+        ndump = int(os.environ.get("DUMP_FUSIONS", "0"))
+        if ndump:
+            # map op time -> hlo instruction name
+            slow = [name for name, _ in durs.most_common(ndump)]
+            comps = {}  # computation name -> [lines]
+            cur = None
+            for line in hlo.splitlines():
+                if line.startswith("%") or line.startswith("ENTRY"):
+                    cur = line.split()[0].lstrip("%")
+                    comps[cur] = []
+                elif cur is not None and line.strip():
+                    comps[cur].append(line.rstrip())
+            import textwrap
+            for name in slow:
+                print(f"\n===== {name}  ({durs[name] / 3 / 1e3:.3f} ms/step)"
+                      f" =====")
+                # find its definition line in the entry computation and the
+                # called computation body
+                for cname, lines in comps.items():
+                    for line in lines:
+                        if f"%{name} = " in line or f"{name} = " in line.lstrip():
+                            print(textwrap.shorten(line.strip(), 400))
+                            import re as _re
+                            m = _re.search(r"(?:calls|fusion)=%?([\w\.\-]+)",
+                                           line)
+                            if m and m.group(1) in comps:
+                                for bl in comps[m.group(1)]:
+                                    print("   ", bl.strip()[:240])
+                            break
 
 
 if __name__ == "__main__":

@@ -9,7 +9,8 @@ import pytest
 
 from yolov3_tpu.ops import boxes as bbox
 from yolov3_tpu.ops.nms import nms_to_host, per_class_nms_device
-from yolov3_tpu.ops.pallas.nms_kernel import greedy_suppress_pallas
+from yolov3_tpu.ops.pallas.nms_kernel import (greedy_suppress_pallas,
+                                              suppress_boxes_pallas)
 
 from tests.test_nms_device import random_detections
 
@@ -64,3 +65,59 @@ class TestPallasSuppress:
         keep = np.asarray(greedy_suppress_pallas(iou, valid, 0.5,
                                                  interpret=True))
         assert keep.tolist() == [[True, False, True, False]]
+
+
+class TestSuppressBoxes:
+    """The in-kernel-IoU round-3 kernel (`suppress_boxes_pallas`)."""
+
+    def _oracle_keep(self, cand, valid, thr):
+        from yolov3_tpu.ops.nms import _greedy_suppress, pairwise_iou
+        import jax
+        return np.asarray(jax.vmap(
+            lambda c, v: _greedy_suppress(pairwise_iou(c), v, thr))(
+                cand, valid))
+
+    @pytest.mark.parametrize("seed,c,k", [(0, 3, 64), (1, 7, 128)])
+    def test_matches_iou_slab_recurrence(self, seed, c, k):
+        rng = np.random.RandomState(seed)
+        xy = rng.rand(c, k, 2).astype(np.float32) * 100
+        wh = rng.rand(c, k, 2).astype(np.float32) * 40 + 1
+        cand = np.concatenate([xy, xy + wh], axis=-1)
+        # score-sorted prefix validity (the production shape)
+        counts = rng.randint(0, k + 1, c)
+        valid = (np.arange(k)[None, :] < counts[:, None])
+        got = np.asarray(suppress_boxes_pallas(cand, valid, 0.3,
+                                               interpret=True))
+        want = self._oracle_keep(cand, valid, 0.3)
+        np.testing.assert_array_equal(got, want)
+
+    def test_gap_validity_pattern(self):
+        """Robustness: non-prefix validity (not produced by the NMS entry
+        points, but the kernel must not silently mis-handle it)."""
+        cand = np.array([[[0, 0, 10, 10],
+                          [0, 0, 10, 10],
+                          [20, 20, 30, 30],
+                          [50, 50, 60, 60]]], dtype=np.float32)
+        valid = np.array([[True, False, True, False]])
+        got = np.asarray(suppress_boxes_pallas(cand, valid, 0.5,
+                                               interpret=True))
+        assert got.tolist() == [[True, False, True, False]]
+
+    def test_all_invalid_keeps_nothing(self):
+        cand = np.zeros((2, 8, 4), np.float32)
+        valid = np.zeros((2, 8), bool)
+        got = np.asarray(suppress_boxes_pallas(cand, valid, 0.3,
+                                               interpret=True))
+        assert not got.any()
+
+    def test_threshold_tie_survives(self):
+        # two boxes with IoU exactly 1/3: threshold 1/3 keeps both
+        cand = np.array([[[0, 0, 10, 10], [0, 5, 10, 15]]], np.float32)
+        valid = np.ones((1, 2), bool)
+        iou = 50.0 / 150.0
+        keep = np.asarray(suppress_boxes_pallas(cand, valid, iou,
+                                                interpret=True))
+        assert keep.tolist() == [[True, True]]
+        keep = np.asarray(suppress_boxes_pallas(cand, valid, iou - 1e-4,
+                                                interpret=True))
+        assert keep.tolist() == [[True, False]]

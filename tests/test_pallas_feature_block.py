@@ -75,11 +75,14 @@ def test_int8_matches_mirror(c, reps, h):
     x = jnp.asarray(rng.randn(2, h, h, c).astype(np.float32), jnp.bfloat16)
     scales = calibrated(p, bs, x, reps)
 
-    ref = Q._feature_block(Q._Ctx(CFG, act_scales=scales), "FB", p, bs,
-                           x, reps)
+    ctx = Q._Ctx(CFG, act_scales=scales)
+    ref = Q._feature_block(ctx, "FB", p, bs, x, reps)
     w1, w2, ex, e1, e2 = Q.pack_feature_block(CFG, "FB", p, bs, scales,
                                               reps)
-    got = fused_feature_block(x, w1, w2, ex, e1, e2, int8=True,
+    # production (_feature_block) hands the kernel the requantized block
+    # input — mirror that here
+    _, x_hat = ctx.block_input("FB/ConvBlock_0", x)
+    got = fused_feature_block(x_hat, w1, w2, ex, e1, e2, int8=True,
                               alpha=CFG.leaky_relu_alpha, interpret=True)
     assert_quant_faithful(got, ref)
 

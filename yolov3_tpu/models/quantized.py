@@ -112,7 +112,8 @@ class _Ctx:
                  collect: Optional[Dict[str, Array]] = None,
                  quant_skip: Sequence[str] = DEFAULT_QUANT_SKIP,
                  fused_blocks: bool = False, fused_interpret: bool = False,
-                 collect_reduce: str = "absmax"):
+                 collect_reduce: str = "absmax",
+                 requant_residual: bool = True):
         self.cfg = cfg
         self.act_scales = act_scales
         self.collect = collect
@@ -121,6 +122,27 @@ class _Ctx:
         self.fused_blocks = fused_blocks
         self.fused_interpret = fused_interpret
         self.collect_reduce = collect_reduce
+        self.requant_residual = requant_residual
+
+    def block_input(self, cb0_name: str, x: Array) -> Tuple[Array, Array]:
+        """(conv_in, residual_in) for a residual block's entry.
+
+        In int8 mode with `requant_residual`, conv_in is the PRE-QUANTIZED
+        s8 tensor (ConvBlock_0 consumes it directly, skipping its own
+        quantize) and residual_in is its dequantized image. The bf16 x
+        then dies at the quantize: the block boundary stores/reads ONE s8
+        tensor instead of the round-2 (s8, bf16) tuple — the HLO
+        attribution showed those dual-output boundary fusions bandwidth-
+        bound on the bf16 copies kept alive only for residual adds (the
+        S2D region alone was 30% of the b64 step). The residual then
+        carries the same quantization noise the conv path already has;
+        the decode-fidelity gate bounds the quality impact."""
+        if (self.requant_residual and self.int8
+                and cb0_name not in self.quant_skip):
+            sx = jnp.float32(self.act_scales[cb0_name])
+            xq = _quantize_act(x, sx)
+            return xq, (xq.astype(jnp.float32) * sx).astype(self.dtype)
+        return x, x
 
     def record(self, name: str, *tensors: Array) -> None:
         """Calibration-mode recording: per-tensor absmax, a fixed-size
@@ -174,8 +196,9 @@ def _conv_raw(ctx: _Ctx, name: str, x: Array, w: Array, stride,
             # either way). The conv form's ~0.2 ms/op fused-epilogue floor
             # stands; cross-op fusion needs custom-call layout control
             # (DESIGN.md round-2b).
+            xq = x if x.dtype == jnp.int8 else _quantize_act(x, sx)
             y = jax.lax.conv_general_dilated(
-                _quantize_act(x, sx), wq, strides, padding,
+                xq, wq, strides, padding,
                 dimension_numbers=_DN, preferred_element_type=jnp.int32)
             return y.astype(jnp.float32), sx * sw
         return jax.lax.conv_general_dilated(
@@ -274,11 +297,16 @@ def _feature_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
                    reps: int) -> Array:
     if reps == 0:  # zero-rep blocks create no params (e.g. block_count=1)
         return x
+    # requantized residual: ConvBlock_0 consumes the pre-quantized s8
+    # directly; every residual add reads its dequantized image (the fused
+    # kernel gets the dequantized bf16 and re-quantizes — same numbers to
+    # 1 LSB, tolerated by its quantization-noise test bound)
+    conv_in, inputs = ctx.block_input(f"{name}/ConvBlock_0", x)
     fused_on = (ctx.fused_blocks is True
                 or (ctx.fused_blocks and name in ctx.fused_blocks))
     if fused_on and _fusable(ctx, name, p, reps, x.shape):
-        return _feature_block_fused(ctx, name, p, bs, x, reps)
-    inputs = x
+        return _feature_block_fused(ctx, name, p, bs, inputs, reps)
+    x = conv_in
     for r in range(reps):
         y = _conv_block(ctx, f"{name}/ConvBlock_{2 * r}",
                         p[f"ConvBlock_{2 * r}"], bs[f"ConvBlock_{2 * r}"], x)
@@ -387,13 +415,13 @@ def _s2d_region(ctx: _Ctx, p: dict, bs: dict, x: Array) -> Array:
     y = _conv_block(ctx, f"{d}/ConvBlock_1", p[d]["ConvBlock_1"],
                     bs[d]["ConvBlock_1"], y, stride=2, kernel_override=k2,
                     padding=((0, 1), (0, 1)), out_tile=4)
-    inputs = y
     fb = f"{d}/FeatureBlock_0"
+    conv_in, inputs = ctx.block_input(f"{fb}/ConvBlock_0", y)
     kf1 = Y._s2d_kernel_1x1(
         p[d]["FeatureBlock_0"]["ConvBlock_0"]["Conv_0"]["kernel"])
     z = _conv_block(ctx, f"{fb}/ConvBlock_0",
                     p[d]["FeatureBlock_0"]["ConvBlock_0"],
-                    bs[d]["FeatureBlock_0"]["ConvBlock_0"], y,
+                    bs[d]["FeatureBlock_0"]["ConvBlock_0"], conv_in,
                     kernel_override=kf1, padding=((0, 0), (0, 0)), out_tile=4)
     kf2 = Y._s2d_kernel_stride1(
         p[d]["FeatureBlock_0"]["ConvBlock_1"]["Conv_0"]["kernel"])
@@ -416,17 +444,21 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                          fused_blocks: bool = False,
                          fused_interpret: bool = False,
                          collect_reduce: str = "absmax",
+                         requant_residual: bool = True,
                          ) -> Tuple[Array, Array, Array]:
     """Inference feature maps, mirroring `YoloV3.apply(..., train=False)`.
 
     x is NHWC float32 (already z-scored). Mode per (act_scales, collect);
     `quant_skip` names conv blocks kept bf16 in int8 mode. `fused_blocks`
     routes int8 feature blocks through the VMEM-resident Pallas kernel
-    (`ops/pallas/feature_block_kernel.py`).
+    (`ops/pallas/feature_block_kernel.py`). `requant_residual` (int8 mode)
+    takes residual adds from the dequantized int8 block input instead of a
+    live bf16 copy — see `_Ctx.residual_input`.
     """
     ctx = _Ctx(cfg, act_scales, collect, quant_skip,
                fused_blocks=fused_blocks, fused_interpret=fused_interpret,
-               collect_reduce=collect_reduce)
+               collect_reduce=collect_reduce,
+               requant_residual=requant_residual)
     p, bs = params, batch_stats
     d = "Darknet53_0"
     bc = cfg.block_count

@@ -83,16 +83,18 @@ def per_class_nms_device(boxes: Array, objectness: Array, class_probs: Array,
 
     cand, top_scores, valid = jax.vmap(gather, in_axes=1, out_axes=0)(
         scores_all)                                  # [C,K,4] [C,K] [C,K]
-    ious = jax.vmap(pairwise_iou)(cand)              # [C,K,K]
 
     on_tpu = jax.default_backend() == "tpu"
     if use_pallas is None:
         use_pallas = on_tpu
     if use_pallas:
-        from yolov3_tpu.ops.pallas.nms_kernel import greedy_suppress_pallas
-        keep = greedy_suppress_pallas(ious, valid, iou_threshold,
-                                      interpret=not on_tpu)
+        # IoU is computed inside the kernel: the [C,K,K] matrix never
+        # materializes in HBM
+        from yolov3_tpu.ops.pallas.nms_kernel import suppress_boxes_pallas
+        keep = suppress_boxes_pallas(cand, valid, iou_threshold,
+                                     interpret=not on_tpu)
     else:
+        ious = jax.vmap(pairwise_iou)(cand)          # [C,K,K]
         keep = jax.vmap(
             lambda m, v: _greedy_suppress(m, v, iou_threshold))(ious, valid)
     return cand, top_scores, keep
@@ -140,16 +142,19 @@ def batched_nms_device(detections: Array, num_classes: int,
 
     scores_all = jnp.sqrt(class_probs * objectness)  # [B, N, C]
     cand, top_scores, valid = jax.vmap(gather_image)(boxes, scores_all)
-    ious = jax.vmap(jax.vmap(pairwise_iou))(cand)    # [B, C, K, K]
 
     if use_pallas:
-        from yolov3_tpu.ops.pallas.nms_kernel import greedy_suppress_pallas
-        keep = greedy_suppress_pallas(
-            ious.reshape(b * num_classes, k, k),
+        # all batch x class problems in one launch; IoU computed in-kernel
+        # from the boxes (the [B,C,K,K] slab — 134 MB at batch 64 — never
+        # exists in HBM)
+        from yolov3_tpu.ops.pallas.nms_kernel import suppress_boxes_pallas
+        keep = suppress_boxes_pallas(
+            cand.reshape(b * num_classes, k, 4),
             valid.reshape(b * num_classes, k),
             iou_threshold, interpret=not on_tpu)
         keep = keep.reshape(b, num_classes, k)
     else:
+        ious = jax.vmap(jax.vmap(pairwise_iou))(cand)    # [B, C, K, K]
         keep = jax.vmap(jax.vmap(
             lambda m, v: _greedy_suppress(m, v, iou_threshold)))(ious, valid)
     return cand, top_scores, keep

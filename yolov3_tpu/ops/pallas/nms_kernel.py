@@ -3,14 +3,26 @@
 The sequential recurrence keep[i] = valid[i] AND no kept j < i with
 IoU(j, i) > threshold is the only non-parallel part of NMS. TPU grid cells
 execute sequentially on a core, so one-class-per-cell kernels serialize the
-whole batch x class workload; this kernel instead processes a CHUNK of
-classes per grid cell with every loop step vectorized across the chunk
-(row i selected by a one-hot MXU contraction — Mosaic forbids dynamic
-per-lane indexing). VMEM sizing picks the largest chunk whose IoU slab
-fits in ~8 MB.
+whole batch x class workload; this kernel processes a CHUNK of classes per
+grid cell with every loop step vectorized across the chunk.
+
+Round-3 design (supersedes the round-2 iou-slab kernel):
+- IoU is computed INSIDE the kernel from the candidate boxes, one
+  box-vs-all row per step. The [B*C, K, K] IoU tensor (134 MB at batch 64,
+  K=512) never exists: HBM sees only the [C, 4, K] coordinates, and the
+  XLA-side pairwise_iou pass disappears from the serving program.
+- Coordinates arrive transposed [C, 4, K] (K on lanes) so every loop step
+  is full-width VPU work; box i's scalars are extracted with a one-hot
+  lane select + reduce (dynamic LANE indexing is what Mosaic forbids).
+- The loop runs only to the max valid-candidate count in the chunk
+  (candidates are score-sorted, so valid slots form a prefix): images
+  where few boxes pass the score threshold cost proportionally less
+  (the round-2 kernel always ran all K iterations).
 
 Matches the host oracle (`yolov3_tpu.ops.boxes.single_class_nms`) exactly:
-ties at the threshold survive (strict `>` suppression).
+ties at the threshold survive (strict `>` suppression), and the IoU
+arithmetic (max/min corner, clip-at-0 extent, inter/(a_i+a_j-inter))
+follows `ops/nms.py::pairwise_iou` op for op.
 """
 
 from __future__ import annotations
@@ -22,44 +34,112 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# sized so the double-buffered input slab + the kernel's working copy stay
-# under the 16 MB VMEM scoped limit
-_VMEM_BUDGET_BYTES = 4 * 1024 * 1024
+# per-chunk VMEM budget for the coordinate/working arrays (~10 K-wide f32
+# rows per class); keeps the whole launch well under the scoped limit
+_VMEM_BUDGET_BYTES = 6 * 1024 * 1024
+_MAX_CHUNK = 512
 
 
-def _suppress_kernel(iou_ref, valid_ref, keep_ref, *, iou_threshold: float):
-    """One chunk: iou [C,K,K] f32, valid [C,1,K] f32 -> keep [C,1,K] f32."""
+def _suppress_kernel(coords_ref, valid_ref, keep_ref, *,
+                     iou_threshold: float):
+    """One chunk: coords [C,4,K] f32 (l,t,r,b rows), valid [C,1,K] f32
+    -> keep [C,1,K] f32."""
     c, _, k = valid_ref.shape
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (c, k), 1)
-    valid_rows = valid_ref[...].reshape(c, k)                # [C, K]
+    l = coords_ref[:, 0, :]
+    t = coords_ref[:, 1, :]
+    r = coords_ref[:, 2, :]
+    b = coords_ref[:, 3, :]
+    area = (r - l) * (b - t)                                  # [C, K]
+    valid_rows = valid_ref[...].reshape(c, k)                 # [C, K]
+
+    # early exit: slots past the last valid candidate can neither be kept
+    # nor suppress anything, so the greedy pass stops at the chunk's max
+    # last-valid index + 1 (candidates are score-sorted, so valid slots
+    # form a prefix and this equals the max valid count)
+    bound = jnp.max(jnp.where(valid_rows > 0.0, col_ids + 1, 0))
+
+    def pick(arr, sel):
+        """arr[:, i] as [C, 1] via one-hot lane select + reduce."""
+        return jnp.max(jnp.where(sel, arr, -jnp.inf), axis=-1,
+                       keepdims=True)
 
     def body(i, keep):
-        # rows_i[c, :] = iou[c, i, :]: dynamic SUBLANE slice (one row per
-        # class per step — dynamic LANE indexing is what Mosaic forbids)
-        rows = iou_ref[:, pl.ds(i, 1), :].reshape(c, k)
-        conflict = jnp.where((rows > iou_threshold) & (col_ids < i),
-                             keep, 0.0)
-        suppressed = jnp.max(conflict, axis=1, keepdims=True)  # [C, 1]
-        valid_i = jnp.max(jnp.where(col_ids == i, valid_rows, 0.0),
-                          axis=1, keepdims=True)               # [C, 1]
+        sel = col_ids == i
+        li, ti, ri, bi = (pick(a, sel) for a in (l, t, r, b))
+        ai = pick(area, sel)
+        # IoU(box i, all boxes), op-for-op as ops/nms.py::pairwise_iou
+        iw = jnp.maximum(jnp.minimum(r, ri) - jnp.maximum(l, li), 0.0)
+        ih = jnp.maximum(jnp.minimum(b, bi) - jnp.maximum(t, ti), 0.0)
+        inter = iw * ih
+        iou = inter / (area + ai - inter)
+        # keep[j] for j >= i is still 0 at step i, so "kept & conflicting"
+        # alone reproduces the j < i restriction
+        conflict = jnp.where(iou > iou_threshold, keep, 0.0)
+        suppressed = jnp.max(conflict, axis=-1, keepdims=True)   # [C, 1]
+        valid_i = jnp.max(jnp.where(sel, valid_rows, 0.0), axis=-1,
+                          keepdims=True)
         keep_i = jnp.where(suppressed > 0.0, 0.0, valid_i)
-        return jnp.where(col_ids == i, keep_i, keep)
+        return jnp.where(sel, keep_i, keep)
 
     keep_ref[...] = jax.lax.fori_loop(
-        0, k, body, jnp.zeros((c, k), jnp.float32)).reshape(c, 1, k)
+        0, bound, body, jnp.zeros((c, k), jnp.float32)).reshape(c, 1, k)
+
+
+@functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
+def suppress_boxes_pallas(cand: jnp.ndarray, valid: jnp.ndarray,
+                          iou_threshold: float,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Batched greedy suppression from candidate boxes.
+
+    cand [C, K, 4] ltrb (score-sorted per class), valid [C, K] ->
+    keep [C, K] bool. C may fold batch x classes. `interpret=True` runs
+    the kernel in Pallas interpreter mode (for CPU tests).
+    """
+    c, k, _ = cand.shape
+    coords = jnp.moveaxis(cand.astype(jnp.float32), -1, -2)   # [C, 4, K]
+    per_class = 10 * k * 4
+    chunk = max(1, min(c, _MAX_CHUNK, _VMEM_BUDGET_BYTES // per_class))
+    pad = (-c) % chunk
+    if pad:
+        coords = jnp.concatenate(
+            [coords, jnp.zeros((pad, 4, k), coords.dtype)], axis=0)
+        valid = jnp.concatenate(
+            [valid, jnp.zeros((pad, k), valid.dtype)], axis=0)
+    total = c + pad
+
+    kernel = functools.partial(_suppress_kernel, iou_threshold=iou_threshold)
+    keep = pl.pallas_call(
+        kernel,
+        grid=(total // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, 4, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 1, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk, 1, k), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((total, 1, k), jnp.float32),
+        interpret=interpret,
+    )(coords, valid.astype(jnp.float32).reshape(total, 1, k))
+    return keep.reshape(total, k)[:c] > 0.0
 
 
 @functools.partial(jax.jit, static_argnames=("iou_threshold", "interpret"))
 def greedy_suppress_pallas(iou: jnp.ndarray, valid: jnp.ndarray,
                            iou_threshold: float,
                            interpret: bool = False) -> jnp.ndarray:
-    """Batched greedy suppression: iou [C,K,K], valid [C,K] -> keep [C,K] bool.
+    """Round-2 compatibility entry: suppression from a precomputed IoU slab
+    iou [C,K,K] + valid [C,K] -> keep [C,K] bool.
 
-    C may fold batch x classes. `interpret=True` runs the kernel in Pallas
-    interpreter mode (for CPU tests); on TPU the compiled kernel is used.
+    Prefer `suppress_boxes_pallas` (computes IoU in-kernel from the boxes;
+    no [C,K,K] materialization). This wrapper keeps the old contract for
+    callers that already hold an IoU matrix; it runs the same row-per-step
+    recurrence with the early-exit bound.
     """
     c, k, _ = iou.shape
-    chunk = max(1, min(c, _VMEM_BUDGET_BYTES // max(k * k * 4, 1)))
+    chunk = max(1, min(c, 4 * 1024 * 1024 // max(k * k * 4, 1)))
     pad = (-c) % chunk
     if pad:
         iou = jnp.concatenate(
@@ -68,7 +148,25 @@ def greedy_suppress_pallas(iou: jnp.ndarray, valid: jnp.ndarray,
             [valid, jnp.zeros((pad, k), valid.dtype)], axis=0)
     total = c + pad
 
-    kernel = functools.partial(_suppress_kernel, iou_threshold=iou_threshold)
+    def kernel(iou_ref, valid_ref, keep_ref):
+        cc, _, kk = valid_ref.shape
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (cc, kk), 1)
+        valid_rows = valid_ref[...].reshape(cc, kk)
+        bound = jnp.max(jnp.where(valid_rows > 0.0, col_ids + 1, 0))
+
+        def body(i, keep):
+            rows = iou_ref[:, pl.ds(i, 1), :].reshape(cc, kk)
+            conflict = jnp.where(rows > iou_threshold, keep, 0.0)
+            suppressed = jnp.max(conflict, axis=1, keepdims=True)
+            valid_i = jnp.max(jnp.where(col_ids == i, valid_rows, 0.0),
+                              axis=1, keepdims=True)
+            keep_i = jnp.where(suppressed > 0.0, 0.0, valid_i)
+            return jnp.where(col_ids == i, keep_i, keep)
+
+        keep_ref[...] = jax.lax.fori_loop(
+            0, bound, body, jnp.zeros((cc, kk), jnp.float32)).reshape(
+                cc, 1, kk)
+
     keep = pl.pallas_call(
         kernel,
         grid=(total // chunk,),
