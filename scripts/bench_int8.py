@@ -66,12 +66,13 @@ def main(argv=None):
     print("calibrating...", flush=True)
     scales = Q.calibrate(params, bs, cfg, x[:8])
 
-    def make_int8(skip, requant_residual=True):
+    def make_int8(skip, requant_residual=True, pointwise_pallas=False):
         @jax.jit
         def f(images):
             fms = Q.forward_feature_maps(params, bs, cfg, images,
                                          act_scales=scales, quant_skip=skip,
-                                         requant_residual=requant_residual)
+                                         requant_residual=requant_residual,
+                                         pointwise_pallas=pointwise_pallas)
             return decode_detections(fms, cfg.anchors, cfg.number_classes,
                                      cfg.strides)
         return f
@@ -119,6 +120,8 @@ def main(argv=None):
     bench("int8_skip_stems", mirror_int8)
     bench("int8_bf16_residual", make_int8(Q.DEFAULT_QUANT_SKIP,
                                           requant_residual=False))
+    bench("int8_pointwise", make_int8(Q.DEFAULT_QUANT_SKIP,
+                                      pointwise_pallas=True))
     bench("int8_deep_only", mirror_int8_deep_only)
     bench("int8_fused", mirror_int8_fused)
     bench("int8_fused_fb2", make_fused(("Darknet53_0/FeatureBlock_2",)))
@@ -138,6 +141,8 @@ def main(argv=None):
 
         prof_fn = {"int8_fused": mirror_int8_fused,
                    "int8_all": mirror_int8_all,
+                   "int8_pointwise": make_int8(Q.DEFAULT_QUANT_SKIP,
+                                               pointwise_pallas=True),
                    }.get(os.environ.get("PROFILE_VARIANT", ""), mirror_int8)
         trace_dir = tempfile.mkdtemp(prefix="int8_prof_")
         jax.profiler.start_trace(trace_dir)

@@ -95,14 +95,57 @@ def main():
             return conv(y, w2)
         return f
 
+    # the whole chain as ONE kernel on the transposed view: 1x1 convs are
+    # MXU matmuls over the flattened (W, B) block — measures whether a
+    # hand matmul escapes the 32^2-stage conv-emitter tax entirely
+    w1m = w1.reshape(C, CO)
+    w2m = w2.reshape(CO, C)
+    mm = (((1,), (0,)), ((), ()))
+
+    def _mm_kernel(x_ref, w1_ref, w2_ref, o_ref):
+        xb = x_ref[...].reshape(W * B, C)
+        y = jax.lax.dot_general(xb, w1_ref[...], mm,
+                                preferred_element_type=jnp.int32)
+        f = y.astype(jnp.float32) * 0.01
+        f = jnp.where(f >= 0, f, 0.2 * f)
+        q = jnp.clip(jnp.round(f * 3.7), -127, 127).astype(jnp.int8)
+        o = jax.lax.dot_general(q, w2_ref[...], mm,
+                                preferred_element_type=jnp.int32)
+        o_ref[...] = o.reshape(1, W, B, C)
+
+    @jax.jit
+    def pallas_mm(t):
+        tt = jnp.transpose(t, (1, 2, 0, 3))
+        ot = pl.pallas_call(
+            _mm_kernel,
+            grid=(H,),
+            in_specs=[
+                pl.BlockSpec((1, W, B, C), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, CO), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((CO, C), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, W, B, C), lambda i: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((H, W, B, C), jnp.int32),
+        )(tt, w1m, w2m)
+        return jnp.transpose(ot, (2, 0, 1, 3))
+
     fns = {"xla": make(epilogue_xla),
            "pallas": make(epilogue_pallas),
-           "pallas_t": make(epilogue_pallas_t)}
+           "pallas_t": make(epilogue_pallas_t),
+           "pallas_mm": pallas_mm}
 
-    # correctness cross-check
+    # correctness cross-check: the two kernel paths must agree exactly;
+    # vs XLA allow the .5-quantization-boundary flips from differing f32
+    # contraction (<0.1% of elements)
     outs = {k: np.asarray(jax.device_get(f(x))) for k, f in fns.items()}
-    for k in ("pallas", "pallas_t"):
-        np.testing.assert_array_equal(outs[k], outs["xla"])
+    np.testing.assert_array_equal(outs["pallas"], outs["pallas_t"])
+    for k in ("xla", "pallas_mm"):
+        frac = (outs["pallas"] != outs[k]).mean()
+        assert frac < 1e-3, (k, frac)
 
     for name, f in fns.items():
         jax.device_get(f(x)[0, 0, 0, :2])

@@ -113,7 +113,8 @@ class _Ctx:
                  quant_skip: Sequence[str] = DEFAULT_QUANT_SKIP,
                  fused_blocks: bool = False, fused_interpret: bool = False,
                  collect_reduce: str = "absmax",
-                 requant_residual: bool = True):
+                 requant_residual: bool = True,
+                 pointwise_pallas: bool = False):
         self.cfg = cfg
         self.act_scales = act_scales
         self.collect = collect
@@ -123,6 +124,18 @@ class _Ctx:
         self.fused_interpret = fused_interpret
         self.collect_reduce = collect_reduce
         self.requant_residual = requant_residual
+        self.pointwise_pallas = pointwise_pallas
+
+    def pw_eligible(self, name: str, next_name: str, w: Array) -> bool:
+        """1x1 conv blocks the transposed-view Pallas kernel may replace:
+        both this conv and the following one (whose input quantize the
+        kernel emits) must run int8."""
+        return (self.pointwise_pallas and self.int8
+                and w.shape[0] == 1 and w.shape[1] == 1
+                and name not in self.quant_skip
+                and next_name not in self.quant_skip
+                and name in self.act_scales
+                and next_name in self.act_scales)
 
     def block_input(self, cb0_name: str, x: Array) -> Tuple[Array, Array]:
         """(conv_in, residual_in) for a residual block's entry.
@@ -257,6 +270,43 @@ def _conv_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
     return _epilogue(ctx, p, bs, y, out_tile, dq=dq)
 
 
+def _pw_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
+              next_name: str, residual_q: Optional[Array] = None,
+              res_scale: Optional[Array] = None, emit_bf16: bool = False):
+    """1x1 ConvBlock via the transposed-view Pallas kernel
+    (`ops/pallas/pointwise_kernel.py`): quantize (+ requantized residual
+    add) + int8 matmul + folded epilogue + the NEXT conv's input quantize,
+    one VMEM-resident pass. Output matches `_conv_block` -> `_quantize_act`
+    up to .5-quantization-boundary noise."""
+    from yolov3_tpu.ops.pallas.pointwise_kernel import pointwise_conv_block_q
+
+    w = p["Conv_0"]["kernel"]
+    cin, cout = w.shape[2], w.shape[3]
+    wq, sw = _quantize_weight(w)
+    sx = jnp.float32(ctx.act_scales[name])
+    dq = sx * sw
+    mul, add = _bn_affine(ctx.cfg, p, bs)
+    b = p["Conv_0"]["bias"].astype(jnp.float32)
+    inv_next = jnp.float32(1.0) / jnp.float32(ctx.act_scales[next_name])
+    cmax = max(cin, cout)
+
+    def pad(v, n):
+        return jnp.zeros((cmax,), jnp.float32).at[:n].set(v)
+
+    epi = jnp.stack([
+        pad(b / dq, cout), pad(mul * dq, cout), pad(add, cout),
+        pad(jnp.full((cout,), inv_next), cout),
+        pad(jnp.full((cin,), jnp.float32(1.0) / sx), cin),
+        pad(jnp.full((cin,), jnp.float32(0.0) if res_scale is None
+                     else jnp.float32(res_scale)), cin),
+    ])
+    with jax.named_scope(f"{name}/pw"):
+        return pointwise_conv_block_q(
+            x, wq.reshape(cin, cout), epi, residual_q,
+            alpha=ctx.cfg.leaky_relu_alpha, emit_bf16=emit_bf16,
+            interpret=ctx.fused_interpret)
+
+
 def _conv_block_cat2(ctx: _Ctx, name: str, p: dict, bs: dict,
                      a: Array, b_in: Array) -> Array:
     """`_conv_block` of a 1x1 conv over concatenate([a, b_in], -1) WITHOUT
@@ -306,6 +356,32 @@ def _feature_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
                 or (ctx.fused_blocks and name in ctx.fused_blocks))
     if fused_on and _fusable(ctx, name, p, reps, x.shape):
         return _feature_block_fused(ctx, name, p, bs, inputs, reps)
+
+    names = [(f"{name}/ConvBlock_{2 * r}", f"{name}/ConvBlock_{2 * r + 1}")
+             for r in range(reps)]
+    pw_all = (all(ctx.pw_eligible(n1, n2, p[n1.split("/")[-1]]
+                                  ["Conv_0"]["kernel"])
+                  for n1, n2 in names)
+              and (reps == 1 or conv_in.dtype == jnp.int8))
+    if pw_all:
+        # 1x1s via the Pallas kernel (which also folds the residual add
+        # and the 3x3's input quantize); 3x3s stay on XLA's conv emitter
+        # (already at the MXU roofline). Only the LAST rep's bf16 sum is
+        # materialized — mid-rep sums live inside the kernels.
+        s_in = ctx.act_scales[f"{name}/ConvBlock_0"]
+        y = None
+        for r, (n1, n2) in enumerate(names):
+            if r == 0:
+                q2 = _pw_block(ctx, n1, p[f"ConvBlock_{2 * r}"],
+                               bs[f"ConvBlock_{2 * r}"], conv_in, n2)
+            else:
+                q2 = _pw_block(ctx, n1, p[f"ConvBlock_{2 * r}"],
+                               bs[f"ConvBlock_{2 * r}"], y, n2,
+                               residual_q=conv_in, res_scale=s_in)
+            y = _conv_block(ctx, n2, p[f"ConvBlock_{2 * r + 1}"],
+                            bs[f"ConvBlock_{2 * r + 1}"], q2)
+        return inputs + y
+
     x = conv_in
     for r in range(reps):
         y = _conv_block(ctx, f"{name}/ConvBlock_{2 * r}",
@@ -394,6 +470,27 @@ def _yolo_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
         x = _conv_block_cat2(ctx, f"{name}/ConvBlock_0", p["ConvBlock_0"],
                              bs["ConvBlock_0"], x, x2)
         start = 1
+    names = [f"{name}/ConvBlock_{i}" for i in range(6)]
+    pw_mid = (ctx.pw_eligible(names[2], names[3],
+                              p["ConvBlock_2"]["Conv_0"]["kernel"])
+              and ctx.pw_eligible(names[4], names[5],
+                                  p["ConvBlock_4"]["Conv_0"]["kernel"]))
+    if pw_mid:
+        # CB2/CB4 (the mid 1x1s) via the Pallas kernel; CB4 also emits the
+        # bf16 route tensor the FPN conv consumes
+        for i in range(start, 2):
+            x = _conv_block(ctx, names[i], p[f"ConvBlock_{i}"],
+                            bs[f"ConvBlock_{i}"], x)
+        q = _pw_block(ctx, names[2], p["ConvBlock_2"], bs["ConvBlock_2"],
+                      x, names[3])
+        x = _conv_block(ctx, names[3], p["ConvBlock_3"], bs["ConvBlock_3"],
+                        q)
+        q, route = _pw_block(ctx, names[4], p["ConvBlock_4"],
+                             bs["ConvBlock_4"], x, names[5],
+                             emit_bf16=True)
+        x = _conv_block(ctx, names[5], p["ConvBlock_5"], bs["ConvBlock_5"],
+                        q)
+        return route, x
     for i in range(start, 5):
         x = _conv_block(ctx, f"{name}/ConvBlock_{i}", p[f"ConvBlock_{i}"],
                         bs[f"ConvBlock_{i}"], x)
@@ -445,6 +542,7 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                          fused_interpret: bool = False,
                          collect_reduce: str = "absmax",
                          requant_residual: bool = True,
+                         pointwise_pallas: bool = False,
                          ) -> Tuple[Array, Array, Array]:
     """Inference feature maps, mirroring `YoloV3.apply(..., train=False)`.
 
@@ -458,7 +556,8 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
     ctx = _Ctx(cfg, act_scales, collect, quant_skip,
                fused_blocks=fused_blocks, fused_interpret=fused_interpret,
                collect_reduce=collect_reduce,
-               requant_residual=requant_residual)
+               requant_residual=requant_residual,
+               pointwise_pallas=pointwise_pallas)
     p, bs = params, batch_stats
     d = "Darknet53_0"
     bc = cfg.block_count
