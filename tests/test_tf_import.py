@@ -85,6 +85,33 @@ class TestImport:
         for fm in fms:
             assert np.isfinite(np.asarray(fm)).all()
 
+    @pytest.mark.parametrize("s2d", [False, True])
+    def test_golden_output_parity(self, s2d):
+        """Numbers-match gate for the importer: the committed fixture
+        (scripts/make_tf_golden_fixture.py) carries keras-layout weights
+        plus feature maps computed by an INDEPENDENT numpy transcription
+        of the reference's inference walk (reference/model.py:28-39,
+        :93-105, :356-421). The imported model must reproduce them — this
+        validates kernel layout, BN variable mapping, conv/leaky/BN order,
+        FPN concat order, and channel-sum upsample numerically, not just
+        by shape."""
+        import os
+        path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "tf_golden_bc1.npz")
+        z = np.load(path)
+        weights = {k: z[k] for k in z.files if not k.startswith("__")}
+        params, stats = T.import_keras_weights(weights, block_count=1)
+        cfg = ModelConfig(img_size=(64, 64, 3), number_classes=2,
+                          anchors=((16, 16), (32, 32)), block_count=1,
+                          filter_count=64, compute_dtype="float32",
+                          upsample_channel_sum=True,
+                          stem_space_to_depth=s2d)
+        fms = YoloV3(cfg).apply({"params": params, "batch_stats": stats},
+                                jnp.asarray(z["__input__"]), train=False)
+        for fm, key in zip(fms, ("__fm1__", "__fm2__", "__fm3__")):
+            np.testing.assert_allclose(np.asarray(fm), z[key],
+                                       rtol=2e-3, atol=2e-3)
+
     def test_colon_zero_suffix_stripped(self):
         weights, _ = make_fixture(block_count=1, filter_count=64)
         with_suffix = {f"{k}:0": v for k, v in weights.items()}

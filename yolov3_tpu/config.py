@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import List, Tuple
+from typing import Any, List, Tuple
 
 # NOTE: no jax import at module level — reader worker processes (spawn
 # context) import this module and must stay JAX-free for fast startup and
@@ -77,6 +77,16 @@ class ModelConfig:
     # bug-compatible channel-sum mode, required when loading weights
     # trained by the TF2 reference (utils/tf_import.py sets this).
     upsample_channel_sum: bool = False
+    # Compute the S2D region's weight-grads in base-kernel space via a
+    # custom VJP (models/yolo.py::_s2d_conv) instead of autodiff through
+    # the lifted kernels (which pays 4x FLOPs / 16x output inflation on
+    # structural zeros). True = all five lifted convs; a tuple of kind
+    # names (see yolo.py::_S2D_CONV_KINDS) selects a subset; False = plain
+    # autodiff. Measured on v5e (DESIGN.md round 3): the base-domain
+    # weight-grad convs are lane-starved at the original low-channel
+    # shapes and REGRESS the 512px b16 train step (67.4 vs 47.0 ms), so
+    # the default stays off.
+    s2d_base_grads: Any = False
     # Rematerialize residual/neck blocks in the backward pass
     # (jax.checkpoint): trades ~1/3 more FLOPs for activation memory,
     # enabling larger per-chip train batches at 512px+.

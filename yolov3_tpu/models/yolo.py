@@ -20,6 +20,7 @@ Reference quirks preserved for output parity (SURVEY.md §7 "hard parts"):
 
 from __future__ import annotations
 
+import functools
 from typing import Any, List, Sequence, Tuple
 
 import flax.linen as nn
@@ -132,6 +133,14 @@ def space_to_depth(x: Array, block: int = 2) -> Array:
         n, h // block, w // block, block * block * c)
 
 
+def depth_to_space(x: Array, block: int = 2) -> Array:
+    """Inverse of `space_to_depth`: [N,H/b,W/b,b*b*C] -> [N,H,W,C]."""
+    n, hb, wb, c4 = x.shape
+    c = c4 // (block * block)
+    x = x.reshape(n, hb, wb, block, block, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, hb * block, wb * block, c)
+
+
 def _s2d_kernel_stride1(w: Array) -> Array:
     """Rearrange a 3x3 stride-1 SAME conv kernel [3,3,Ci,Co] into the exact
     equivalent space-to-depth-domain kernel [3,3,4Ci,4Co].
@@ -231,6 +240,89 @@ def _s2d_kernel_1x1(w: Array) -> Array:
         for dx in range(2):
             out = out.at[0, 0, dy, dx, :, dy, dx, :].set(w[0, 0])
     return out.reshape(1, 1, 4 * ci, 4 * co)
+
+
+# --- space-to-depth conv dispatch table ----------------------------------
+# kind -> (lift fn, blocked-domain strides, blocked-domain padding)
+_S2D_CONV_KINDS = {
+    "stem1_direct": (_s2d_kernel_stem1_direct, (2, 2), ((1, 2), (1, 2))),
+    "stride2_stay": (_s2d_kernel_stride2_stay, (2, 2), ((0, 1), (0, 1))),
+    "pointwise": (_s2d_kernel_1x1, (1, 1), ((0, 0), (0, 0))),
+    "stride1": (_s2d_kernel_stride1, (1, 1), ((1, 1), (1, 1))),
+    "stride2_exit": (_s2d_kernel_stride2_exit, (1, 1), ((0, 1), (0, 1))),
+}
+# kind -> (base strides, base padding, d2s the input?, d2s the cotangent?)
+# for the base-kernel-space weight-grad (original-domain conv geometry;
+# SAME padding for kernel 3 is (1,1) at stride 1 and (0,1) at stride 2 on
+# even inputs, matching the reference convs at reference/model.py:26-35).
+_S2D_BASE_GEOM = {
+    "stem1_direct": ((1, 1), ((1, 1), (1, 1)), False, True),
+    "stride2_stay": ((2, 2), ((0, 1), (0, 1)), True, True),
+    "stride1": ((1, 1), ((1, 1), (1, 1)), True, True),
+    "stride2_exit": ((2, 2), ((0, 1), (0, 1)), True, False),
+}
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _s2d_conv(x: Array, w: Array, kind: str, dtype: Any) -> Array:
+    """Blocked-domain conv of `x` with the `kind`-lifted base kernel `w`.
+
+    Forward is bit-identical to conv-ing the lifted kernel directly. The
+    custom VJP exists for the WEIGHT grad: autodiff computes it as a conv
+    producing the full lifted kernel shape ([3,3,4Ci,4Co] — 4x the dense
+    FLOPs, 16x the output elements, 75% structural zeros) and then
+    gather-reduces it back through the lift. The backward here instead
+    rearranges the saved input / cotangent to the ORIGINAL domain
+    (`depth_to_space` — pure layout) and runs the base-shape weight-grad
+    conv: 1x FLOPs, no zero inflation. Measured on the train step
+    (DESIGN.md round-3). Data-grads stay in the blocked domain, where the
+    lane-filling channel counts beat the original shapes (same reason the
+    forward is blocked).
+    """
+    lift, strides, pad = _S2D_CONV_KINDS[kind]
+    return jax.lax.conv_general_dilated(x, lift(w).astype(dtype), strides,
+                                        pad, dimension_numbers=_conv_dn())
+
+
+def _s2d_conv_fwd(x, w, kind, dtype):
+    return _s2d_conv(x, w, kind, dtype), (x, w)
+
+
+def _s2d_conv_bwd(kind, dtype, res, dy):
+    x, w = res
+    lift, strides, pad = _S2D_CONV_KINDS[kind]
+    if kind == "pointwise":
+        # block-diagonal 1x1: both grads are plain matmuls over the
+        # blocked view — reshape only, no transposes, no zero padding
+        ci, co = w.shape[2], w.shape[3]
+        x2 = x.reshape(-1, ci)
+        dy2 = dy.reshape(-1, co)
+        dx = jax.lax.dot_general(dy2, w[0, 0].astype(dtype),
+                                 (((1,), (1,)), ((), ()))).reshape(x.shape)
+        dw = jax.lax.dot_general(
+            x2, dy2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(w.shape)
+        return dx, dw
+    # data-grad: autodiff through the blocked conv (unchanged path; for
+    # stem1 the image is not differentiated, so XLA DCEs this branch)
+    lifted = lift(w).astype(dtype)
+    _, vjp_x = jax.vjp(
+        lambda xx: jax.lax.conv_general_dilated(
+            xx, lifted, strides, pad, dimension_numbers=_conv_dn()), x)
+    dx = vjp_x(dy)[0]
+    # weight-grad in base-kernel space
+    b_strides, b_pad, d2s_x, d2s_dy = _S2D_BASE_GEOM[kind]
+    x_o = depth_to_space(x) if d2s_x else x
+    dy_o = depth_to_space(dy) if d2s_dy else dy
+    _, vjp_w = jax.vjp(
+        lambda ww: jax.lax.conv_general_dilated(
+            x_o, ww.astype(dtype), b_strides, b_pad,
+            dimension_numbers=_conv_dn()), w)
+    dw = vjp_w(dy_o)[0]
+    return dx, dw
+
+
+_s2d_conv.defvjp(_s2d_conv_fwd, _s2d_conv_bwd)
 
 
 class _ConvParams(nn.Module):
@@ -345,13 +437,27 @@ def _conv_dn():
     return _DN
 
 
-def _s2d_conv_block(x: Array, blk: "_StemBlockParams", kernel: Array,
-                    strides, padding, out_tile: int, train: bool,
-                    alpha: float, bn_epsilon: float, dtype: Any) -> Array:
-    """One ConvBlock (conv -> LeakyReLU -> BN) in the blocked domain."""
-    _, b = blk.conv()
-    y = jax.lax.conv_general_dilated(x, kernel.astype(dtype), strides,
-                                     padding, dimension_numbers=_conv_dn())
+def _s2d_conv_block(x: Array, blk: "_StemBlockParams", kind: str,
+                    out_tile: int, train: bool, alpha: float,
+                    bn_epsilon: float, dtype: Any,
+                    base_grads: bool = True) -> Array:
+    """One ConvBlock (conv -> LeakyReLU -> BN) in the blocked domain.
+
+    `base_grads` routes the conv through `_s2d_conv`'s custom VJP (weight
+    grads computed in base-kernel space); off = plain autodiff through the
+    lifted kernel (for A/B and grad-equivalence tests).
+    """
+    k, b = blk.conv()
+    use_vjp = (base_grads is True
+               or (not isinstance(base_grads, bool)
+                   and base_grads and kind in base_grads))
+    if use_vjp:
+        y = _s2d_conv(x, k, kind, dtype)
+    else:
+        lift, strides, padding = _S2D_CONV_KINDS[kind]
+        y = jax.lax.conv_general_dilated(x, lift(k).astype(dtype), strides,
+                                         padding,
+                                         dimension_numbers=_conv_dn())
     bias = b if out_tile == 1 else jnp.tile(b, out_tile)
     y = y + bias.astype(dtype)
     y = nn.leaky_relu(y, negative_slope=alpha)
@@ -360,7 +466,7 @@ def _s2d_conv_block(x: Array, blk: "_StemBlockParams", kernel: Array,
 
 def _s2d_region_apply(x: Array, stem1, stem2, fb1, fb2, exit_conv,
                       train: bool, alpha: float, bn_epsilon: float,
-                      dtype: Any) -> Array:
+                      dtype: Any, base_grads: bool = True) -> Array:
     """Exact space-to-depth rewrite of the darknet low-channel region: the
     two stem conv blocks, the first residual feature block, and the stride-2
     conv into the 128-channel stage.
@@ -378,29 +484,20 @@ def _s2d_region_apply(x: Array, stem1, stem2, fb1, fb2, exit_conv,
     (s2, stays, spatial H/4 blocked) -> feature block (1x1 + 3x3 + residual,
     stays) -> exit conv (s2, leaves, spatial H/8 plain NHWC).
     """
-    a, e, dt = alpha, bn_epsilon, dtype
-    k1, _ = stem1.conv()
-    k2, _ = stem2.conv()
-    kf1, _ = fb1.conv()
-    kf2, _ = fb2.conv()
-    k3, _ = exit_conv.conv()
+    a, e, dt, bg = alpha, bn_epsilon, dtype, base_grads
 
     # stem1 consumes the RAW image through the direct stride-2 kernel —
     # no space_to_depth transpose, and 9x fewer dense inner terms than
     # conv-ing the lifted kernel over the blocked input
-    y = _s2d_conv_block(x.astype(dtype), stem1,
-                        _s2d_kernel_stem1_direct(k1), (2, 2),
-                        ((1, 2), (1, 2)), 4, train, a, e, dt)
-    y = _s2d_conv_block(y, stem2, _s2d_kernel_stride2_stay(k2), (2, 2),
-                        ((0, 1), (0, 1)), 4, train, a, e, dt)
+    y = _s2d_conv_block(x.astype(dtype), stem1, "stem1_direct", 4,
+                        train, a, e, dt, bg)
+    y = _s2d_conv_block(y, stem2, "stride2_stay", 4, train, a, e, dt, bg)
     inputs = y
-    z = _s2d_conv_block(y, fb1, _s2d_kernel_1x1(kf1), (1, 1),
-                        ((0, 0), (0, 0)), 4, train, a, e, dt)
-    z = _s2d_conv_block(z, fb2, _s2d_kernel_stride1(kf2), (1, 1),
-                        ((1, 1), (1, 1)), 4, train, a, e, dt)
+    z = _s2d_conv_block(y, fb1, "pointwise", 4, train, a, e, dt, bg)
+    z = _s2d_conv_block(z, fb2, "stride1", 4, train, a, e, dt, bg)
     y = inputs + z  # residual adds the block input (reference/model.py:47)
-    return _s2d_conv_block(y, exit_conv, _s2d_kernel_stride2_exit(k3), (1, 1),
-                           ((0, 1), (0, 1)), 1, train, a, e, dt)
+    return _s2d_conv_block(y, exit_conv, "stride2_exit", 1,
+                           train, a, e, dt, bg)
 
 
 def upsample_2x(x: Array, channel_sum: bool = False) -> Array:
@@ -459,6 +556,7 @@ class Darknet53(nn.Module):
     filter_count: int = FILTER_COUNT
     kernel: int = KERNEL_SIZE
     s2d_stem: bool = False
+    s2d_base_grads: Any = False
     remat: bool = False
 
     @nn.compact
@@ -481,7 +579,8 @@ class Darknet53(nn.Module):
                                          name="ConvBlock_2")
             x = _s2d_region_apply(x, stem1, stem2, fb.block1, fb.block2,
                                   exit_conv, train, ck["alpha"],
-                                  ck["bn_epsilon"], ck["dtype"])
+                                  ck["bn_epsilon"], ck["dtype"],
+                                  base_grads=self.s2d_base_grads)
         else:
             x = ConvBlock(fc // 32, k, name="ConvBlock_0", **ck)(x, train)
             x = ConvBlock(fc // 16, k, stride=2, name="ConvBlock_1",
@@ -528,6 +627,7 @@ class YoloV3(nn.Module):
             conv_kwargs=ck, block_count=cfg.block_count,
             filter_count=cfg.filter_count, kernel=k,
             s2d_stem=cfg.stem_space_to_depth,
+            s2d_base_grads=cfg.s2d_base_grads,
             remat=cfg.remat_blocks)(x, train)
         f8 = route_s8.shape[-1]
         f16 = route_s16.shape[-1]
