@@ -22,6 +22,8 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--img", type=int, default=512)
     parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--only", type=str, default="",
+                        help="comma-separated variant labels to run")
     args = parser.parse_args(argv)
 
     import jax
@@ -45,16 +47,21 @@ def main(argv=None):
     tcfg = TrainConfig(batch_size=tb)
     mesh = make_mesh(n_devices=1)
 
-    variants = (("autodiff", False), ("base_grads", True),
-                ("bg_stem1", ("stem1_direct",)),
-                ("bg_stem2", ("stride2_stay",)),
-                ("bg_pointwise", ("pointwise",)),
-                ("bg_stride1", ("stride1",)),
-                ("bg_exit", ("stride2_exit",)))
-    for label, flag in variants:
+    variants = (("bf16", {}),
+                ("int8_ste", {"int8_train": True}),
+                ("base_grads", {"s2d_base_grads": True}),
+                ("bg_stem1", {"s2d_base_grads": ("stem1_direct",)}),
+                ("bg_stem2", {"s2d_base_grads": ("stride2_stay",)}),
+                ("bg_pointwise", {"s2d_base_grads": ("pointwise",)}),
+                ("bg_stride1", {"s2d_base_grads": ("stride1",)}),
+                ("bg_exit", {"s2d_base_grads": ("stride2_exit",)}))
+    if args.only:
+        keep = set(args.only.split(","))
+        variants = tuple(v for v in variants if v[0] in keep)
+    for label, kw in variants:
         cfg = ModelConfig(img_size=(args.img, args.img, 3), number_classes=2,
                           anchors=((64, 384), (384, 64)),
-                          compute_dtype="bfloat16", s2d_base_grads=flag)
+                          compute_dtype="bfloat16", **kw)
         fm_model = YoloV3(cfg)
         state = create_train_state(fm_model, tcfg, jax.random.PRNGKey(0),
                                    (1, args.img, args.img, 3))

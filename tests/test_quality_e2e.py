@@ -60,12 +60,18 @@ def _make_dataset(tmp_path, rng):
 
 
 @pytest.mark.slow
-def test_overfit_toy_dataset_reaches_high_map(tmp_path, rng):
+@pytest.mark.parametrize("int8_train", [False, True],
+                         ids=["bf16_train", "int8_ste_train"])
+def test_overfit_toy_dataset_reaches_high_map(tmp_path, rng, int8_train):
+    """`int8_train=True` additionally gates the QAT path end-to-end: a
+    model TRAINED with the int8-forward straight-through estimator must
+    still find the planted objects through both serving paths."""
     img_dir, gt_dir, images, gts = _make_dataset(tmp_path, rng)
 
     cfg = ModelConfig(img_size=(SIZE, SIZE, 3), number_classes=1,
                       anchors=((24, 24), (12, 12)), block_count=1,
-                      filter_count=32, compute_dtype="float32")
+                      filter_count=32, compute_dtype="float32",
+                      int8_train=int8_train)
     tcfg = TrainConfig(batch_size=N_IMAGES)
     model = YoloV3(cfg)
     mesh = make_mesh(n_devices=1)

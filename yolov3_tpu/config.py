@@ -87,6 +87,13 @@ class ModelConfig:
     # shapes and REGRESS the 512px b16 train step (67.4 vs 47.0 ms), so
     # the default stays off.
     s2d_base_grads: Any = False
+    # int8-forward training: ConvBlock forwards run on the int8 MXU path
+    # (v5e doubles the bf16 rate) with dynamic per-batch quantization;
+    # backward is the plain bf16 conv VJP at the saved full-precision
+    # operands (straight-through estimator, the standard QAT gradient).
+    # stem1 and the detection heads stay bf16, mirroring the PTQ serving
+    # skip. Eval/inference paths are unaffected.
+    int8_train: bool = False
     # Rematerialize residual/neck blocks in the backward pass
     # (jax.checkpoint): trades ~1/3 more FLOPs for activation memory,
     # enabling larger per-chip train batches at 512px+.

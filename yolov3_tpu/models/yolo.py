@@ -54,9 +54,26 @@ class ConvBlock(nn.Module):
     bn_epsilon: float = 1e-3
     dtype: Any = jnp.bfloat16
     use_pallas_pointwise: bool = False
+    int8_ste: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
+        if self.int8_ste and train:
+            # int8 MXU forward with straight-through bf16 backward
+            # (`int8_ste_conv`); identical variable tree to the standard
+            # path, full batch-stat BatchNorm behavior
+            conv = _ConvParams(
+                (self.kernel, self.kernel, x.shape[-1], self.features),
+                name="Conv_0")
+            bn = _BNParams(self.features, self.bn_momentum,
+                           name="BatchNorm_0")
+            k, b = conv()
+            y = int8_ste_conv(x, k, (self.stride, self.stride), "SAME",
+                              self.dtype, None)
+            y = y + b.astype(self.dtype)
+            y = nn.leaky_relu(y, negative_slope=self.alpha)
+            return _s2d_batchnorm(y, bn, train, 1, self.bn_epsilon,
+                                  self.dtype)
         if (self.use_pallas_pointwise and self.kernel == 1
                 and self.stride == 1 and not train):
             # fused single-kernel path (matmul + bias + leaky + affine BN);
@@ -325,6 +342,75 @@ def _s2d_conv_bwd(kind, dtype, res, dy):
 _s2d_conv.defvjp(_s2d_conv_fwd, _s2d_conv_bwd)
 
 
+# --- int8-forward training (straight-through estimator) -------------------
+
+def _ste_quantize_act(x: Array) -> Tuple[Array, Array]:
+    """Per-tensor symmetric dynamic quantization of an activation: scale
+    from THIS batch's absmax (no calibration state, no staleness)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) / 127.0
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _ste_quantize_weight(w: Array) -> Tuple[Array, Array]:
+    """Per-output-channel symmetric weight quantization ([kh,kw,ci,co])."""
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-12) / 127.0
+    q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def int8_ste_conv(x: Array, w: Array, strides, padding, dtype: Any,
+                  lift_kind) -> Array:
+    """Conv whose FORWARD runs on the int8 MXU path (v5e: 2x the bf16
+    rate) and whose BACKWARD is the plain bf16 conv VJP evaluated at the
+    saved full-precision operands — the straight-through estimator, the
+    standard quantization-aware-training gradient.
+
+    Quantization is dynamic per batch: activations per-tensor from the
+    batch absmax, weights per-output-channel — the same scheme the PTQ
+    serving path validated for accuracy (models/quantized.py), minus the
+    static calibration. `lift_kind` (a `_S2D_CONV_KINDS` key or None)
+    quantizes the BASE kernel and lifts the int8 result, so structural
+    zeros stay exact zeros.
+    """
+    qx, sx = _ste_quantize_act(x)
+    if lift_kind is None:
+        qw, sw = _ste_quantize_weight(w)
+    else:
+        qw, sw = _ste_quantize_weight(w)
+        lift = _S2D_CONV_KINDS[lift_kind][0]
+        qw = lift(qw)
+        sw = jnp.tile(sw, qw.shape[-1] // w.shape[-1])
+    y = jax.lax.conv_general_dilated(qx, qw, strides, padding,
+                                     dimension_numbers=_conv_dn(),
+                                     preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * (sx * sw)).astype(dtype)
+
+
+def _int8_ste_conv_fwd(x, w, strides, padding, dtype, lift_kind):
+    return int8_ste_conv(x, w, strides, padding, dtype, lift_kind), (x, w)
+
+
+def _int8_ste_conv_bwd(strides, padding, dtype, lift_kind, res, dy):
+    x, w = res
+    if lift_kind is None:
+        f = lambda xx, ww: jax.lax.conv_general_dilated(
+            xx, ww.astype(dtype), strides, padding,
+            dimension_numbers=_conv_dn())
+    else:
+        lift = _S2D_CONV_KINDS[lift_kind][0]
+        f = lambda xx, ww: jax.lax.conv_general_dilated(
+            xx, lift(ww).astype(dtype), strides, padding,
+            dimension_numbers=_conv_dn())
+    _, vjp = jax.vjp(f, x, w)
+    return vjp(dy)
+
+
+int8_ste_conv.defvjp(_int8_ste_conv_fwd, _int8_ste_conv_bwd)
+
+
 class _ConvParams(nn.Module):
     """Parameter container with nn.Conv's tree ({kernel, bias})."""
 
@@ -401,7 +487,7 @@ class _S2DFeatureBlockParams(nn.Module):
                                        name="ConvBlock_1")
 
 
-def _s2d_batchnorm(y: Array, blk: "_StemBlockParams", train: bool, tile: int,
+def _s2d_batchnorm(y: Array, bn: "_BNParams", train: bool, tile: int,
                    epsilon: float, dtype: Any) -> Array:
     """BatchNorm whose channels may be block-tiled `tile` times.
 
@@ -409,14 +495,14 @@ def _s2d_batchnorm(y: Array, blk: "_StemBlockParams", train: bool, tile: int,
     standard path's per-channel statistics exactly; running stats are stored
     untiled in the shared ConvBlock/BatchNorm_0 tree.
     """
-    scale, bias, ra_mean, ra_var = blk.bn()
+    scale, bias, ra_mean, ra_var = bn()
     c = scale.shape[0]
     if train:
         n, h, w, _ = y.shape
         yr = y.astype(jnp.float32).reshape(n, h, w, tile, c)
         batch_mean = yr.mean(axis=(0, 1, 2, 3))
         batch_var = (yr * yr).mean(axis=(0, 1, 2, 3)) - batch_mean ** 2
-        blk.bn.update_stats(batch_mean, batch_var)
+        bn.update_stats(batch_mean, batch_var)
         mean, var = batch_mean, batch_var
     else:
         mean, var = ra_mean, ra_var
@@ -440,18 +526,25 @@ def _conv_dn():
 def _s2d_conv_block(x: Array, blk: "_StemBlockParams", kind: str,
                     out_tile: int, train: bool, alpha: float,
                     bn_epsilon: float, dtype: Any,
-                    base_grads: bool = True) -> Array:
+                    base_grads: bool = True,
+                    int8_ste: bool = False) -> Array:
     """One ConvBlock (conv -> LeakyReLU -> BN) in the blocked domain.
 
     `base_grads` routes the conv through `_s2d_conv`'s custom VJP (weight
     grads computed in base-kernel space); off = plain autodiff through the
-    lifted kernel (for A/B and grad-equivalence tests).
+    lifted kernel (for A/B and grad-equivalence tests). `int8_ste` runs
+    the training forward on the int8 path (`int8_ste_conv`).
     """
     k, b = blk.conv()
     use_vjp = (base_grads is True
                or (not isinstance(base_grads, bool)
                    and base_grads and kind in base_grads))
-    if use_vjp:
+    if int8_ste and train and kind != "stem1_direct":
+        # int8 MXU forward, STE backward; stem1 stays bf16 — mirrors the
+        # serving path's stem1-only quantization skip (models/quantized.py)
+        lift, strides, padding = _S2D_CONV_KINDS[kind]
+        y = int8_ste_conv(x, k, strides, padding, dtype, kind)
+    elif use_vjp:
         y = _s2d_conv(x, k, kind, dtype)
     else:
         lift, strides, padding = _S2D_CONV_KINDS[kind]
@@ -461,12 +554,13 @@ def _s2d_conv_block(x: Array, blk: "_StemBlockParams", kind: str,
     bias = b if out_tile == 1 else jnp.tile(b, out_tile)
     y = y + bias.astype(dtype)
     y = nn.leaky_relu(y, negative_slope=alpha)
-    return _s2d_batchnorm(y, blk, train, out_tile, bn_epsilon, dtype)
+    return _s2d_batchnorm(y, blk.bn, train, out_tile, bn_epsilon, dtype)
 
 
 def _s2d_region_apply(x: Array, stem1, stem2, fb1, fb2, exit_conv,
                       train: bool, alpha: float, bn_epsilon: float,
-                      dtype: Any, base_grads: bool = True) -> Array:
+                      dtype: Any, base_grads: bool = True,
+                      int8_ste: bool = False) -> Array:
     """Exact space-to-depth rewrite of the darknet low-channel region: the
     two stem conv blocks, the first residual feature block, and the stride-2
     conv into the 128-channel stage.
@@ -484,20 +578,20 @@ def _s2d_region_apply(x: Array, stem1, stem2, fb1, fb2, exit_conv,
     (s2, stays, spatial H/4 blocked) -> feature block (1x1 + 3x3 + residual,
     stays) -> exit conv (s2, leaves, spatial H/8 plain NHWC).
     """
-    a, e, dt, bg = alpha, bn_epsilon, dtype, base_grads
+    a, e, dt, bg, q = alpha, bn_epsilon, dtype, base_grads, int8_ste
 
     # stem1 consumes the RAW image through the direct stride-2 kernel —
     # no space_to_depth transpose, and 9x fewer dense inner terms than
     # conv-ing the lifted kernel over the blocked input
     y = _s2d_conv_block(x.astype(dtype), stem1, "stem1_direct", 4,
-                        train, a, e, dt, bg)
-    y = _s2d_conv_block(y, stem2, "stride2_stay", 4, train, a, e, dt, bg)
+                        train, a, e, dt, bg, q)
+    y = _s2d_conv_block(y, stem2, "stride2_stay", 4, train, a, e, dt, bg, q)
     inputs = y
-    z = _s2d_conv_block(y, fb1, "pointwise", 4, train, a, e, dt, bg)
-    z = _s2d_conv_block(z, fb2, "stride1", 4, train, a, e, dt, bg)
+    z = _s2d_conv_block(y, fb1, "pointwise", 4, train, a, e, dt, bg, q)
+    z = _s2d_conv_block(z, fb2, "stride1", 4, train, a, e, dt, bg, q)
     y = inputs + z  # residual adds the block input (reference/model.py:47)
     return _s2d_conv_block(y, exit_conv, "stride2_exit", 1,
-                           train, a, e, dt, bg)
+                           train, a, e, dt, bg, q)
 
 
 def upsample_2x(x: Array, channel_sum: bool = False) -> Array:
@@ -580,7 +674,8 @@ class Darknet53(nn.Module):
             x = _s2d_region_apply(x, stem1, stem2, fb.block1, fb.block2,
                                   exit_conv, train, ck["alpha"],
                                   ck["bn_epsilon"], ck["dtype"],
-                                  base_grads=self.s2d_base_grads)
+                                  base_grads=self.s2d_base_grads,
+                                  int8_ste=ck.get("int8_ste", False))
         else:
             x = ConvBlock(fc // 32, k, name="ConvBlock_0", **ck)(x, train)
             x = ConvBlock(fc // 16, k, stride=2, name="ConvBlock_1",
@@ -619,7 +714,8 @@ class YoloV3(nn.Module):
         cfg = self.config
         ck = dict(alpha=cfg.leaky_relu_alpha, bn_momentum=cfg.bn_momentum,
                   bn_epsilon=cfg.bn_epsilon, dtype=cfg.dtype,
-                  use_pallas_pointwise=cfg.use_pallas_pointwise)
+                  use_pallas_pointwise=cfg.use_pallas_pointwise,
+                  int8_ste=cfg.int8_train)
         k = cfg.kernel_size
         x = x.astype(cfg.dtype)
 

@@ -339,6 +339,10 @@ def main(argv=None) -> None:
     parser.add_argument("--resume", action="store_true",
                         help="resume from an existing checkpoint in "
                              "--output_dir (the reference cannot resume)")
+    parser.add_argument("--int8_train", type=int, default=0,
+                        help="quantization-aware training: run conv forwards "
+                             "on the int8 MXU path (straight-through bf16 "
+                             "backward) [0=false, 1=true]")
     args = parser.parse_args(argv)
 
     anchors = tuple(tuple(float(v) for v in a.split("x"))
@@ -356,7 +360,9 @@ def main(argv=None) -> None:
                 compute_dtype=args.compute_dtype,
                 profile_dir=args.profile_dir,
                 device_augment=bool(args.device_augment),
-                resume=args.resume)
+                resume=args.resume,
+                model_overrides=({"int8_train": True} if args.int8_train
+                                 else None))
 
 
 if __name__ == "__main__":
