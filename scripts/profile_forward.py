@@ -33,6 +33,8 @@ def main(argv=None):
     parser.add_argument("--train", action="store_true",
                         help="profile the training step (fwd+bwd+adam) "
                              "instead of the inference forward")
+    parser.add_argument("--int8_train", action="store_true",
+                        help="profile the QAT (int8-forward STE) train step")
     args = parser.parse_args(argv)
 
     import jax
@@ -49,7 +51,10 @@ def main(argv=None):
 
     cfg = ModelConfig(img_size=(args.img, args.img, 3), number_classes=2,
                       anchors=((64, 384), (384, 64)),
-                      compute_dtype="bfloat16")
+                      compute_dtype="bfloat16",
+                      int8_train=args.int8_train)
+    if args.int8_train:
+        args.train = True
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(
         args.batch, args.img, args.img, 3).astype(np.float32))
