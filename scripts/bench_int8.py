@@ -66,13 +66,15 @@ def main(argv=None):
     print("calibrating...", flush=True)
     scales = Q.calibrate(params, bs, cfg, x[:8])
 
-    def make_int8(skip, requant_residual=True, pointwise_pallas=False):
+    def make_int8(skip, requant_residual=True, pointwise_pallas=False,
+                  exit_pallas=False):
         @jax.jit
         def f(images):
             fms = Q.forward_feature_maps(params, bs, cfg, images,
                                          act_scales=scales, quant_skip=skip,
                                          requant_residual=requant_residual,
-                                         pointwise_pallas=pointwise_pallas)
+                                         pointwise_pallas=pointwise_pallas,
+                                         exit_pallas=exit_pallas)
             return decode_detections(fms, cfg.anchors, cfg.number_classes,
                                      cfg.strides)
         return f
@@ -129,6 +131,8 @@ def main(argv=None):
                                          "Darknet53_0/FeatureBlock_4")))
     # stem1 bf16, stem2 int8 (round 1 only ever measured both together)
     bench("int8_skip_stem1", make_int8(("Darknet53_0/ConvBlock_0",)))
+    bench("int8_exit_pallas", make_int8(("Darknet53_0/ConvBlock_0",),
+                                        exit_pallas=True))
     bench("int8_fused_fb4", make_fused(("Darknet53_0/FeatureBlock_4",)))
 
     if os.environ.get("PROFILE_INT8"):
@@ -141,9 +145,15 @@ def main(argv=None):
 
         prof_fn = {"int8_fused": mirror_int8_fused,
                    "int8_all": mirror_int8_all,
+                   "int8_skip_stem1": make_int8(("Darknet53_0/ConvBlock_0",)),
+                   "int8_exit_pallas": make_int8(
+                       ("Darknet53_0/ConvBlock_0",), exit_pallas=True),
                    "int8_pointwise": make_int8(Q.DEFAULT_QUANT_SKIP,
                                                pointwise_pallas=True),
                    }.get(os.environ.get("PROFILE_VARIANT", ""), mirror_int8)
+        # compile + settle OUTSIDE the trace window so the trace holds
+        # only steady-state device events
+        jax.device_get(prof_fn(x)[0, 0, :2])
         trace_dir = tempfile.mkdtemp(prefix="int8_prof_")
         jax.profiler.start_trace(trace_dir)
         out = None

@@ -114,10 +114,12 @@ class _Ctx:
                  fused_blocks: bool = False, fused_interpret: bool = False,
                  collect_reduce: str = "absmax",
                  requant_residual: bool = True,
-                 pointwise_pallas: bool = False):
+                 pointwise_pallas: bool = False,
+                 exit_pallas: bool = False):
         self.cfg = cfg
         self.act_scales = act_scales
         self.collect = collect
+        self.exit_pallas = exit_pallas
         self.dtype = cfg.dtype
         self.quant_skip = frozenset(quant_skip)
         self.fused_blocks = fused_blocks
@@ -150,6 +152,11 @@ class _Ctx:
         S2D region alone was 30% of the b64 step). The residual then
         carries the same quantization noise the conv path already has;
         the decode-fidelity gate bounds the quality impact."""
+        if x.dtype == jnp.int8:
+            # already quantized with THIS block's scale by the producer
+            # (the exit-conv Pallas kernel emits FeatureBlock_1's input)
+            sx = jnp.float32(self.act_scales[cb0_name])
+            return x, (x.astype(jnp.float32) * sx).astype(self.dtype)
         if (self.requant_residual and self.int8
                 and cb0_name not in self.quant_skip):
             sx = jnp.float32(self.act_scales[cb0_name])
@@ -528,9 +535,51 @@ def _s2d_region(ctx: _Ctx, p: dict, bs: dict, x: Array) -> Array:
                     kernel_override=kf2, padding=((1, 1), (1, 1)), out_tile=4)
     y = inputs + z
     k3 = Y._s2d_kernel_stride2_exit(p[d]["ConvBlock_2"]["Conv_0"]["kernel"])
+    nm, nxt = f"{d}/ConvBlock_2", f"{d}/FeatureBlock_1/ConvBlock_0"
+    if ctx.int8 and ctx.exit_pallas and _exit_eligible(ctx, nm, nxt, k3, y):
+        # XLA's conv emitter runs the lifted [2,2,4Ci,Co] window conv at
+        # ~22% MXU (3.23 ms of the 28.6 ms b64 step, DESIGN.md round 3);
+        # the tap-matmul Pallas kernel emits FeatureBlock_1's s8 input
+        # directly (exit_conv_kernel.py)
+        from yolov3_tpu.ops.pallas.exit_conv_kernel import exit_conv_block_q
+
+        sx = jnp.float32(ctx.act_scales[nm])
+        wq, sw = _quantize_weight(k3)
+        dq = sx * sw
+        mul, add = _bn_affine(ctx.cfg, p[d]["ConvBlock_2"],
+                              bs[d]["ConvBlock_2"])
+        b = p[d]["ConvBlock_2"]["Conv_0"]["bias"].astype(jnp.float32)
+        inv_next = jnp.float32(1.0) / jnp.float32(ctx.act_scales[nxt])
+        epi = jnp.stack([b / dq, mul * dq, add, jnp.full_like(add, inv_next)])
+        with jax.named_scope(f"{nm}/exit_pallas"):
+            # the barriers stop XLA from sinking the kernel's (bitcast)
+            # boundary transposes into the neighbouring convs, which would
+            # re-run THEM in the transposed layout (measured +2.8 ms)
+            xq = jax.lax.optimization_barrier(_quantize_act(y, sx))
+            out = exit_conv_block_q(
+                xq, wq.reshape(4, *wq.shape[2:]), epi,
+                alpha=ctx.cfg.leaky_relu_alpha,
+                cast_bf16=(ctx.dtype == jnp.bfloat16),
+                interpret=ctx.fused_interpret)
+            return jax.lax.optimization_barrier(out)
     return _conv_block(ctx, f"{d}/ConvBlock_2", p[d]["ConvBlock_2"],
                        bs[d]["ConvBlock_2"], y, kernel_override=k3,
                        padding=((0, 1), (0, 1)), out_tile=1)
+
+
+def _exit_eligible(ctx: _Ctx, nm: str, nxt: str, k3: Array,
+                   y: Array) -> bool:
+    """The exit kernel needs both the exit conv and the next block's entry
+    int8-calibrated (it emits the latter's pre-quantized s8 input, which
+    `_Ctx.block_input` then consumes — requant_residual semantics), and
+    the per-image block within its VMEM plan."""
+    from yolov3_tpu.ops.pallas.exit_conv_kernel import vmem_fits
+
+    return (ctx.requant_residual and not ctx.pointwise_pallas
+            and nm not in ctx.quant_skip and nxt not in ctx.quant_skip
+            and nm in ctx.act_scales and nxt in ctx.act_scales
+            and vmem_fits(y.shape[1], y.shape[2], y.shape[0],
+                          k3.shape[2], k3.shape[3]))
 
 
 def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
@@ -543,6 +592,7 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                          collect_reduce: str = "absmax",
                          requant_residual: bool = True,
                          pointwise_pallas: bool = False,
+                         exit_pallas: bool = False,
                          ) -> Tuple[Array, Array, Array]:
     """Inference feature maps, mirroring `YoloV3.apply(..., train=False)`.
 
@@ -557,7 +607,8 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                fused_blocks=fused_blocks, fused_interpret=fused_interpret,
                collect_reduce=collect_reduce,
                requant_residual=requant_residual,
-               pointwise_pallas=pointwise_pallas)
+               pointwise_pallas=pointwise_pallas,
+               exit_pallas=exit_pallas)
     p, bs = params, batch_stats
     d = "Darknet53_0"
     bc = cfg.block_count
