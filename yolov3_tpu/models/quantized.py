@@ -308,10 +308,17 @@ def _pw_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
                      else jnp.float32(res_scale)), cin),
     ])
     with jax.named_scope(f"{name}/pw"):
-        return pointwise_conv_block_q(
+        # barrier-pinned boundaries: stop XLA sinking the kernel's bitcast
+        # transposes into the neighbouring convs (see the exit-conv kernel
+        # — unpinned, the relayout cascade costs more than the kernel wins)
+        x = jax.lax.optimization_barrier(x)
+        if residual_q is not None:
+            residual_q = jax.lax.optimization_barrier(residual_q)
+        out = pointwise_conv_block_q(
             x, wq.reshape(cin, cout), epi, residual_q,
             alpha=ctx.cfg.leaky_relu_alpha, emit_bf16=emit_bf16,
             interpret=ctx.fused_interpret)
+        return jax.tree_util.tree_map(jax.lax.optimization_barrier, out)
 
 
 def _conv_block_cat2(ctx: _Ctx, name: str, p: dict, bs: dict,
@@ -461,10 +468,15 @@ def _feature_block_fused(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
     w1, w2, ex, e1, e2 = pack_feature_block(ctx.cfg, name, p, bs,
                                             ctx.act_scales, reps)
     with jax.named_scope(f"{name}/fused"):
-        return fused_feature_block(
-            x.astype(ctx.dtype), w1, w2, ex, e1, e2, int8=True,
+        # barrier-pinned boundaries (see the exit-conv kernel): the kernel
+        # pays two explicit relayout copies, but XLA no longer re-lays-out
+        # the neighbouring convs around it
+        xb = jax.lax.optimization_barrier(x.astype(ctx.dtype))
+        out = fused_feature_block(
+            xb, w1, w2, ex, e1, e2, int8=True,
             alpha=ctx.cfg.leaky_relu_alpha,
             interpret=ctx.fused_interpret).astype(ctx.dtype)
+        return jax.lax.optimization_barrier(out)
 
 
 def _yolo_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
