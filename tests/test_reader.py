@@ -147,3 +147,55 @@ class TestDtypes:
         assert img.dtype == np.float32
         assert np.isfinite(img).all()
         assert l32.sum() >= 0
+
+
+class TestMultiHostShard:
+    """shard=(rank, world): equal disjoint slices, full-database census."""
+
+    def test_disjoint_equal_cover(self, tmp_path, rng):
+        build_toy_db(tmp_path / "db", rng, n=10)
+        readers = [DatasetReader(str(tmp_path / "db"), ANCHORS,
+                                 num_workers=1, shard=(r, 3))
+                   for r in range(3)]
+        counts = [r.get_image_count() for r in readers]
+        assert counts == [3, 3, 3]  # 10 truncated to 9, split 3-way
+        seen = [set(r.keys_flat) for r in readers]
+        assert not (seen[0] & seen[1]) and not (seen[1] & seen[2])
+        assert len(seen[0] | seen[1] | seen[2]) == 9
+
+    def test_census_spans_full_database(self, tmp_path, rng):
+        # class 3 only appears in images rank 0 never reads: number_classes
+        # must still match the unsharded reader (hosts must agree on the
+        # model's label shapes)
+        build_toy_db(tmp_path / "db", rng, classes_per_img=[[0]] * 11 + [[3]])
+        full = DatasetReader(str(tmp_path / "db"), ANCHORS, num_workers=1)
+        r0 = DatasetReader(str(tmp_path / "db"), ANCHORS, num_workers=1,
+                           shard=(0, 2))
+        assert r0.get_number_classes() == full.get_number_classes()
+        assert r0.label_shapes() == full.label_shapes()
+
+    def test_world_one_is_noop(self, tmp_path, rng):
+        build_toy_db(tmp_path / "db", rng, n=5)
+        r = DatasetReader(str(tmp_path / "db"), ANCHORS, num_workers=1,
+                          shard=(0, 1))
+        assert r.get_image_count() == 5
+
+    def test_too_many_hosts_raises(self, tmp_path, rng):
+        build_toy_db(tmp_path / "db", rng, n=2)
+        with pytest.raises(ValueError, match="fewer than"):
+            DatasetReader(str(tmp_path / "db"), ANCHORS, num_workers=1,
+                          shard=(0, 4))
+
+    def test_bad_rank_raises(self, tmp_path, rng):
+        build_toy_db(tmp_path / "db", rng, n=4)
+        with pytest.raises(ValueError, match="rank"):
+            DatasetReader(str(tmp_path / "db"), ANCHORS, num_workers=1,
+                          shard=(2, 2))
+
+    def test_sharded_examples_flow(self, tmp_path, rng):
+        build_toy_db(tmp_path / "db", rng, n=8)
+        r = DatasetReader(str(tmp_path / "db"), ANCHORS, shuffle=True,
+                          num_workers=1, shard=(1, 2))
+        with r:
+            img, l32, _, _ = r.get_example()
+        assert np.isfinite(img).all()

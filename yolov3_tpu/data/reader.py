@@ -81,9 +81,20 @@ class DatasetReader:
                  shuffle: bool = True,
                  num_workers: int = 1,
                  augment_config: Optional[AugmentConfig] = None,
-                 raw_mode: bool = False):
+                 raw_mode: bool = False,
+                 shard: Optional[Tuple[int, int]] = None):
         if not os.path.exists(img_db):
             raise FileNotFoundError(f"Missing database: {img_db}")
+        if shard is not None:
+            rank, world = int(shard[0]), int(shard[1])
+            if not 0 <= rank < world:
+                raise ValueError(f"shard rank {rank} not in [0, {world})")
+            shard = (rank, world) if world > 1 else None
+        # multi-host data parallelism: (rank, world) restricts this
+        # process to an equal-size, disjoint 1/world slice of the database
+        # (the class census still spans the FULL database so every host
+        # derives the same number_classes / label shapes)
+        self.shard = shard
         self.image_db = img_db
         self.anchors = [tuple(a) for a in anchors]
         self.use_augmentation = use_augmentation
@@ -131,6 +142,19 @@ class DatasetReader:
                         empty_images = True
                     else:
                         highest_class = max(highest_class, int(k))
+
+            if self.shard is not None:
+                rank, world = self.shard
+                # truncate to a multiple of world so every host's shard
+                # (and thus its epoch accounting) is exactly equal-sized —
+                # unequal per-host step counts would deadlock collectives
+                usable = len(all_keys) - (len(all_keys) % world)
+                if usable == 0:
+                    raise ValueError(
+                        f"Database {self.image_db} has {len(all_keys)} "
+                        f"records — fewer than the {world} hosts sharding "
+                        f"it")
+                all_keys = [all_keys[i] for i in range(rank, usable, world)]
 
             bucket_count = highest_class + 1 + (1 if empty_images else 0)
             self.keys: List[List[bytes]] = [[] for _ in range(bucket_count)]

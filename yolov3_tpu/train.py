@@ -89,14 +89,19 @@ def train_model(batch_size: int, test_every_n_steps: int,
                                early_stopping_count=early_stopping_count,
                                use_augmentation=bool(use_augmentation))
 
+    # multi-host: each process reads a disjoint equal 1/world slice of the
+    # databases (DP over hosts; shard is a no-op at world=1)
+    shard = (jax.process_index(), jax.process_count())
+
     print(f"Devices: {n_chips} ({mesh.devices.flat[0].platform}), "
-          f"global batch {global_batch_size}, readers {reader_count}")
+          f"global batch {global_batch_size}, readers {reader_count}, "
+          f"host shard {shard[0]}/{shard[1]}")
 
     print("Setting up test image reader")
     test_reader = DatasetReader(test_database_filepath, anchors,
                                 use_augmentation=False, shuffle=False,
                                 num_workers=reader_count,
-                                raw_mode=device_augment)
+                                raw_mode=device_augment, shard=shard)
     print(f"Test Reader has {test_reader.get_image_count()} images")
 
     print("Setting up training image reader")
@@ -105,7 +110,7 @@ def train_model(batch_size: int, test_every_n_steps: int,
                                  shuffle=True, balance_classes=True,
                                  num_workers=reader_count,
                                  augment_config=augment_config,
-                                 raw_mode=device_augment)
+                                 raw_mode=device_augment, shard=shard)
     print(f"Train Reader has {train_reader.get_image_count()} images")
 
     export_path = None
