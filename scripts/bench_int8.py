@@ -67,9 +67,15 @@ def main(argv=None):
     scales = Q.calibrate(params, bs, cfg, x[:8])
 
     def make_int8(skip, requant_residual=True, pointwise_pallas=False,
-                  exit_pallas=False):
+                  exit_pallas=False, head_decode=False):
         @jax.jit
         def f(images):
+            if head_decode:
+                return Q.forward_detections(
+                    params, bs, cfg, images, act_scales=scales,
+                    quant_skip=skip, requant_residual=requant_residual,
+                    pointwise_pallas=pointwise_pallas,
+                    exit_pallas=exit_pallas, head_decode_pallas=True)
             fms = Q.forward_feature_maps(params, bs, cfg, images,
                                          act_scales=scales, quant_skip=skip,
                                          requant_residual=requant_residual,
@@ -134,6 +140,8 @@ def main(argv=None):
     bench("int8_exit_pallas", make_int8(("Darknet53_0/ConvBlock_0",),
                                         exit_pallas=True))
     bench("int8_fused_fb4", make_fused(("Darknet53_0/FeatureBlock_4",)))
+    bench("int8_headdec", make_int8(("Darknet53_0/ConvBlock_0",),
+                                    exit_pallas=True, head_decode=True))
 
     if os.environ.get("PROFILE_INT8"):
         import collections
@@ -150,6 +158,9 @@ def main(argv=None):
                        ("Darknet53_0/ConvBlock_0",), exit_pallas=True),
                    "int8_pointwise": make_int8(Q.DEFAULT_QUANT_SKIP,
                                                pointwise_pallas=True),
+                   "int8_headdec": make_int8(
+                       ("Darknet53_0/ConvBlock_0",), exit_pallas=True,
+                       head_decode=True),
                    }.get(os.environ.get("PROFILE_VARIANT", ""), mirror_int8)
         # compile + settle OUTSIDE the trace window so the trace holds
         # only steady-state device events

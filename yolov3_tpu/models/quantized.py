@@ -621,6 +621,24 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                requant_residual=requant_residual,
                pointwise_pallas=pointwise_pallas,
                exit_pallas=exit_pallas)
+    return tuple(_apply_head(ctx, params, nm, h)
+                 for nm, h in _forward_necks(ctx, params, batch_stats, x))
+
+
+def _apply_head(ctx: _Ctx, p: dict, name: str, h: Array) -> Array:
+    """Detection head: plain 1x1 conv + bias in the compute dtype
+    (accuracy-critical, stays unquantized in every mode)."""
+    w = p[name]["Conv_0"]["kernel"].astype(ctx.dtype)
+    b = p[name]["Conv_0"]["bias"].astype(ctx.dtype)
+    return jax.lax.conv_general_dilated(
+        h, w, (1, 1), "SAME", dimension_numbers=_DN) + b
+
+
+def _forward_necks(ctx: _Ctx, params: dict, batch_stats: dict,
+                   x: Array) -> Tuple[Tuple[str, Array], ...]:
+    """Backbone + FPN in the ctx's mode, up to (but excluding) the
+    detection heads: ((head name, neck output), ...) stride-32 first."""
+    cfg = ctx.cfg
     p, bs = params, batch_stats
     d = "Darknet53_0"
     bc = cfg.block_count
@@ -657,27 +675,66 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                        bs[d].get("FeatureBlock_4", {}), y, bc // 2)
     route_s32 = y
 
-    def head(name: str, h: Array) -> Array:
-        w = p[name]["Conv_0"]["kernel"].astype(ctx.dtype)
-        b = p[name]["Conv_0"]["bias"].astype(ctx.dtype)
-        return jax.lax.conv_general_dilated(
-            h, w, (1, 1), "SAME", dimension_numbers=_DN) + b
-
     up = lambda t: Y.upsample_2x(t, channel_sum=cfg.upsample_channel_sum)
-    route, yb = _yolo_block(ctx, "YoloBlock_0", p["YoloBlock_0"],
-                            bs["YoloBlock_0"], route_s32)
-    fm1 = head("DetectionHead_0", yb)
+    route, yb1 = _yolo_block(ctx, "YoloBlock_0", p["YoloBlock_0"],
+                             bs["YoloBlock_0"], route_s32)
     y = _conv_block(ctx, "ConvBlock_0", p["ConvBlock_0"], bs["ConvBlock_0"],
                     route)
-    route, yb = _yolo_block(ctx, "YoloBlock_1", p["YoloBlock_1"],
-                            bs["YoloBlock_1"], up(y), x2=route_s16)
-    fm2 = head("DetectionHead_1", yb)
+    route, yb2 = _yolo_block(ctx, "YoloBlock_1", p["YoloBlock_1"],
+                             bs["YoloBlock_1"], up(y), x2=route_s16)
     y = _conv_block(ctx, "ConvBlock_1", p["ConvBlock_1"], bs["ConvBlock_1"],
                     route)
-    _, yb = _yolo_block(ctx, "YoloBlock_2", p["YoloBlock_2"],
-                        bs["YoloBlock_2"], up(y), x2=route_s8)
-    fm3 = head("DetectionHead_2", yb)
-    return fm1, fm2, fm3
+    _, yb3 = _yolo_block(ctx, "YoloBlock_2", p["YoloBlock_2"],
+                         bs["YoloBlock_2"], up(y), x2=route_s8)
+    return (("DetectionHead_0", yb1), ("DetectionHead_1", yb2),
+            ("DetectionHead_2", yb3))
+
+
+def forward_detections(params: dict, batch_stats: dict, cfg: ModelConfig,
+                       x: Array,
+                       act_scales: Optional[Dict[str, float]] = None,
+                       quant_skip: Sequence[str] = DEFAULT_QUANT_SKIP,
+                       head_decode_pallas: bool = True,
+                       fused_interpret: bool = False,
+                       **fm_kwargs) -> Array:
+    """Feature maps -> decoded detections [B, num_boxes, 4+1+C] in one
+    call. With `head_decode_pallas` (default), each scale's head conv +
+    box decode runs as one Pallas pass (`ops/pallas/head_decode_kernel`),
+    skipping the XLA head conv's 14-lane layout trap and the
+    decode-adjacent fusions (~1.5 ms at b64, DESIGN.md round 3);
+    otherwise identical to `decode_detections(forward_feature_maps(...))`.
+    """
+    from yolov3_tpu.ops.pallas.head_decode_kernel import (head_decode,
+                                                          vmem_fits)
+
+    ctx = _Ctx(cfg, act_scales, None, quant_skip,
+               fused_interpret=fused_interpret, **fm_kwargs)
+    necks = _forward_necks(ctx, params, batch_stats, x)
+    anchors = tuple(tuple(float(v) for v in a) for a in cfg.anchors)
+    ad = len(anchors) * (5 + cfg.number_classes)
+    use_kernel = head_decode_pallas and all(
+        vmem_fits(h.shape[1], h.shape[2], h.shape[0], h.shape[3], ad,
+                  2 if ctx.dtype == jnp.bfloat16 else 4)
+        for _, h in necks)
+    if not use_kernel:
+        fms = [_apply_head(ctx, params, nm, h) for nm, h in necks]
+        return decode_detections(fms, cfg.anchors, cfg.number_classes,
+                                 cfg.strides)
+    parts = []
+    for (nm, h), stride in zip(necks, cfg.strides):
+        w = params[nm]["Conv_0"]["kernel"]
+        b = params[nm]["Conv_0"]["bias"]
+        with jax.named_scope(f"{nm}/head_decode"):
+            # barrier-pinned boundaries, same rationale as _pw_block
+            hb = jax.lax.optimization_barrier(h.astype(ctx.dtype))
+            det = head_decode(
+                hb, w.reshape(w.shape[2], w.shape[3]), b,
+                anchors=anchors, number_classes=cfg.number_classes,
+                stride=int(stride),
+                cast_bf16=(ctx.dtype == jnp.bfloat16),
+                interpret=ctx.fused_interpret)
+            parts.append(jax.lax.optimization_barrier(det))
+    return jnp.concatenate(parts, axis=1)
 
 
 def calibrate(params: dict, batch_stats: dict, cfg: ModelConfig,
@@ -711,7 +768,8 @@ def calibrate(params: dict, batch_stats: dict, cfg: ModelConfig,
 
 def make_quantized_detector_fn(saved_model_filepath: str,
                                calib_images: Array,
-                               calib_percentile: Optional[float] = None):
+                               calib_percentile: Optional[float] = None,
+                               head_decode_pallas: bool = False):
     """int8 twin of `inference.make_detector_fn`: detect(images NHWC f32)
     -> decoded detections [B, num_boxes, 4+1+C] (no NMS — callers like the
     tiled pipeline run their own per-tile NMS). `calib_images`: a
@@ -724,10 +782,9 @@ def make_quantized_detector_fn(saved_model_filepath: str,
 
     @jax.jit
     def detect(images: Array) -> Array:
-        fms = forward_feature_maps(params, batch_stats, cfg, images,
-                                   act_scales=scales)
-        return decode_detections(fms, cfg.anchors, cfg.number_classes,
-                                 cfg.strides)
+        return forward_detections(params, batch_stats, cfg, images,
+                                  act_scales=scales,
+                                  head_decode_pallas=head_decode_pallas)
 
     return detect, cfg
 
@@ -736,7 +793,8 @@ def make_quantized_serving_fn(saved_model_filepath: str,
                               calib_images: Array,
                               icfg: Optional[InferenceConfig] = None,
                               min_box_size: Optional[int] = None,
-                              calib_percentile: Optional[float] = None):
+                              calib_percentile: Optional[float] = None,
+                              head_decode_pallas: bool = False):
     """int8 twin of `inference.make_serving_fn`: ONE jitted program from
     z-scored images to (boxes, scores, keep) — int8 backbone/neck convs,
     bf16 heads, f32 decode, device NMS.
@@ -761,10 +819,9 @@ def make_quantized_serving_fn(saved_model_filepath: str,
         # image sizes other than the export size (matches the bf16 CLI's
         # host-side clip, reference/inference.py:62-65 fixed)
         img_h, img_w = images.shape[1], images.shape[2]
-        fms = forward_feature_maps(params, batch_stats, cfg, images,
-                                   act_scales=scales)
-        det = decode_detections(fms, cfg.anchors, cfg.number_classes,
-                                cfg.strides)
+        det = forward_detections(params, batch_stats, cfg, images,
+                                 act_scales=scales,
+                                 head_decode_pallas=head_decode_pallas)
         clipped = jnp.concatenate([
             jnp.clip(det[..., 0:1], 0, img_w),
             jnp.clip(det[..., 1:2], 0, img_h),
