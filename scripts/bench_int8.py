@@ -67,7 +67,7 @@ def main(argv=None):
     scales = Q.calibrate(params, bs, cfg, x[:8])
 
     def make_int8(skip, requant_residual=True, pointwise_pallas=False,
-                  exit_pallas=False, head_decode=False):
+                  exit_pallas=False, head_decode=False, down_pallas=False):
         @jax.jit
         def f(images):
             if head_decode:
@@ -75,12 +75,14 @@ def main(argv=None):
                     params, bs, cfg, images, act_scales=scales,
                     quant_skip=skip, requant_residual=requant_residual,
                     pointwise_pallas=pointwise_pallas,
-                    exit_pallas=exit_pallas, head_decode_pallas=True)
+                    exit_pallas=exit_pallas, down_pallas=down_pallas,
+                    head_decode_pallas=True)
             fms = Q.forward_feature_maps(params, bs, cfg, images,
                                          act_scales=scales, quant_skip=skip,
                                          requant_residual=requant_residual,
                                          pointwise_pallas=pointwise_pallas,
-                                         exit_pallas=exit_pallas)
+                                         exit_pallas=exit_pallas,
+                                         down_pallas=down_pallas)
             return decode_detections(fms, cfg.anchors, cfg.number_classes,
                                      cfg.strides)
         return f
@@ -142,6 +144,11 @@ def main(argv=None):
     bench("int8_fused_fb4", make_fused(("Darknet53_0/FeatureBlock_4",)))
     bench("int8_headdec", make_int8(("Darknet53_0/ConvBlock_0",),
                                     exit_pallas=True, head_decode=True))
+    bench("int8_down", make_int8(("Darknet53_0/ConvBlock_0",),
+                                 exit_pallas=True, down_pallas=True))
+    bench("int8_kitchen", make_int8(("Darknet53_0/ConvBlock_0",),
+                                    exit_pallas=True, down_pallas=True,
+                                    head_decode=True))
 
     if os.environ.get("PROFILE_INT8"):
         import collections
@@ -161,6 +168,9 @@ def main(argv=None):
                    "int8_headdec": make_int8(
                        ("Darknet53_0/ConvBlock_0",), exit_pallas=True,
                        head_decode=True),
+                   "int8_kitchen": make_int8(
+                       ("Darknet53_0/ConvBlock_0",), exit_pallas=True,
+                       down_pallas=True, head_decode=True),
                    }.get(os.environ.get("PROFILE_VARIANT", ""), mirror_int8)
         # compile + settle OUTSIDE the trace window so the trace holds
         # only steady-state device events

@@ -1,0 +1,132 @@
+"""Stride-2 downsample Pallas kernel vs the quantized XLA mirror.
+
+CPU tests run the kernel in Pallas interpreter mode; the compiled path is
+exercised on TPU by scripts/bench_int8.py (int8_down variant).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolov3_tpu.config import ModelConfig
+from yolov3_tpu.models import quantized as Q
+
+CFG = ModelConfig(img_size=(64, 64, 3), number_classes=2)
+
+
+def make_down(rng, cin, cout):
+    p = {"Conv_0": {"kernel": rng.randn(3, 3, cin, cout)
+                    .astype(np.float32) * 0.05,
+                    "bias": rng.randn(cout).astype(np.float32) * 0.1},
+         "BatchNorm_0": {"scale": 1 + 0.1 * rng.randn(cout)
+                         .astype(np.float32),
+                         "bias": rng.randn(cout).astype(np.float32) * 0.1}}
+    bs = {"BatchNorm_0": {"mean": rng.randn(cout).astype(np.float32) * 0.1,
+                          "var": 1 + 0.1 * np.abs(
+                              rng.randn(cout)).astype(np.float32)}}
+    return jax.tree_util.tree_map(jnp.asarray, (p, bs))
+
+
+def mirror_pair(rng, cin, cout, h, b=2, down_scale=0.02, next_scale=0.02,
+                interpret=True):
+    """(kernel-path s8 out, XLA-mirror s8 out) for one downsample block."""
+    p, bs = make_down(rng, cin, cout)
+    x = jnp.asarray(rng.randn(b, h, h, cin).astype(np.float32) * 0.5,
+                    jnp.bfloat16)
+    nm, nxt = "DB", "NXT/ConvBlock_0"
+    scales = {nm: down_scale, nxt: next_scale}
+
+    ref_ctx = Q._Ctx(CFG, act_scales=scales)
+    ref_bf16 = Q._conv_block(ref_ctx, nm, p, bs, x, stride=2)
+    ref_q = Q._quantize_act(ref_bf16, jnp.float32(scales[nxt]))
+
+    got_ctx = Q._Ctx(CFG, act_scales=scales, down_pallas=True,
+                     fused_interpret=interpret)
+    got_q = Q._down_block(got_ctx, nm, p, bs, x, nxt)
+    assert got_q.dtype == jnp.int8, "kernel path did not engage"
+    return got_q, ref_q
+
+
+def assert_quant_close(got, ref):
+    """Same .5-quantization-boundary tolerance class as the other int8
+    kernels (see tests/test_pointwise_kernel.py): s8 codes may differ by
+    1 where the f32 epilogue lands exactly on a rounding boundary."""
+    got = np.asarray(got, np.int32)
+    ref = np.asarray(ref, np.int32)
+    d = np.abs(got - ref)
+    assert d.max() <= 1, (d.max(), (d > 0).mean())
+    assert (d > 0).mean() <= 0.05, (d > 0).mean()
+
+
+@pytest.mark.parametrize("cin,cout,h", [(32, 64, 8), (16, 48, 12)])
+def test_down_kernel_matches_mirror(cin, cout, h):
+    rng = np.random.RandomState(cin + h)
+    got, ref = mirror_pair(rng, cin, cout, h)
+    assert got.shape == ref.shape == (2, h // 2, h // 2, cout)
+    assert_quant_close(got, ref)
+
+
+def test_edge_padding_rows_and_cols():
+    """Bottom/right SAME pad: kernels with strong weight on the u=2/v=2
+    taps expose halo or shift bugs at the image edges."""
+    rng = np.random.RandomState(7)
+    p, bs = make_down(rng, 8, 16)
+    # overwrite: delta kernel hitting only the (2,2) tap
+    k = np.zeros((3, 3, 8, 16), np.float32)
+    k[2, 2] = rng.randn(8, 16) * 0.1
+    p["Conv_0"]["kernel"] = jnp.asarray(k)
+    x = jnp.asarray(rng.randn(2, 8, 8, 8).astype(np.float32),
+                    jnp.bfloat16)
+    scales = {"DB": 0.02, "NXT/ConvBlock_0": 0.02}
+    ref = Q._quantize_act(
+        Q._conv_block(Q._Ctx(CFG, act_scales=scales), "DB", p, bs, x,
+                      stride=2), jnp.float32(0.02))
+    got = Q._down_block(Q._Ctx(CFG, act_scales=scales, down_pallas=True,
+                               fused_interpret=True), "DB", p, bs, x,
+                        "NXT/ConvBlock_0")
+    assert_quant_close(got, ref)
+
+
+def test_multiband_grid():
+    """Row-banded grid: H big enough for several bands."""
+    rng = np.random.RandomState(3)
+    got, ref = mirror_pair(rng, 8, 8, 32)
+    assert_quant_close(got, ref)
+
+
+def test_fallback_when_ineligible():
+    """Without calibrated scales for the next block, falls back to the
+    XLA conv block (bf16 output, not s8)."""
+    rng = np.random.RandomState(5)
+    p, bs = make_down(rng, 8, 16)
+    x = jnp.asarray(rng.randn(2, 8, 8, 8).astype(np.float32), jnp.bfloat16)
+    ctx = Q._Ctx(CFG, act_scales={"DB": 0.02}, down_pallas=True,
+                 fused_interpret=True)
+    out = Q._down_block(ctx, "DB", p, bs, x, "NXT/ConvBlock_0")
+    assert out.dtype != jnp.int8
+
+
+def test_full_model_down_pallas(tmp_path):
+    """forward_feature_maps with down_pallas == plain int8 mirror on a
+    small end-to-end model (downstream blocks consume the s8 handoff)."""
+    cfg = ModelConfig(img_size=(64, 64, 3), number_classes=2,
+                      anchors=((8, 16), (16, 8)), compute_dtype="float32")
+    from yolov3_tpu.models.yolo import YoloV3
+
+    m = YoloV3(cfg)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+               train=False)
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    scales = Q.calibrate(v["params"], v["batch_stats"], cfg, x)
+    ref = Q.forward_feature_maps(v["params"], v["batch_stats"], cfg, x,
+                                 act_scales=scales)
+    got = Q.forward_feature_maps(v["params"], v["batch_stats"], cfg, x,
+                                 act_scales=scales, down_pallas=True,
+                                 fused_interpret=True)
+    for a, b in zip(got, ref):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        d = np.abs(a - b)
+        assert d.max() <= 0.15 * b.std() + 1e-6, (d.max(), b.std())

@@ -115,11 +115,13 @@ class _Ctx:
                  collect_reduce: str = "absmax",
                  requant_residual: bool = True,
                  pointwise_pallas: bool = False,
-                 exit_pallas: bool = False):
+                 exit_pallas: bool = False,
+                 down_pallas: bool = False):
         self.cfg = cfg
         self.act_scales = act_scales
         self.collect = collect
         self.exit_pallas = exit_pallas
+        self.down_pallas = down_pallas
         self.dtype = cfg.dtype
         self.quant_skip = frozenset(quant_skip)
         self.fused_blocks = fused_blocks
@@ -479,6 +481,60 @@ def _feature_block_fused(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
         return jax.lax.optimization_barrier(out)
 
 
+def _down_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
+                next_name: str) -> Array:
+    """3x3 stride-2 downsample ConvBlock between backbone stages. With
+    `down_pallas` (int8 mode), runs as one Pallas pass that quantizes the
+    bf16 block-boundary tensor in-VMEM and emits the NEXT block's
+    pre-quantized s8 input (`ops/pallas/down_conv_kernel.py` — XLA's
+    emitter runs these strided s8 convs at ~30-45% MXU, DESIGN.md
+    round 3); otherwise the plain `_conv_block`."""
+    w = p["Conv_0"]["kernel"]
+    eligible = (ctx.int8 and ctx.down_pallas and ctx.requant_residual
+                and x.dtype != jnp.int8
+                and w.shape[:2] == (3, 3)
+                and name not in ctx.quant_skip
+                and next_name not in ctx.quant_skip
+                and ctx.act_scales is not None
+                and name in ctx.act_scales
+                and next_name in ctx.act_scales)
+    if eligible:
+        from yolov3_tpu.ops.pallas.down_conv_kernel import (down_conv_block_q,
+                                                            vmem_fits)
+
+        eligible = vmem_fits(x.shape[1], x.shape[2], x.shape[0],
+                             w.shape[2], w.shape[3])
+    if not eligible:
+        return _conv_block(ctx, name, p, bs, x, stride=2)
+
+    cin, cout = w.shape[2], w.shape[3]
+    sx = jnp.float32(ctx.act_scales[name])
+    wq, sw = _quantize_weight(w)
+    dq = sx * sw
+    mul, add = _bn_affine(ctx.cfg, p, bs)
+    b = p["Conv_0"]["bias"].astype(jnp.float32)
+    inv_next = jnp.float32(1.0) / jnp.float32(ctx.act_scales[next_name])
+    cmax = max(cin, cout)
+
+    def pad(v, n):
+        return jnp.zeros((cmax,), jnp.float32).at[:n].set(v)
+
+    epi = jnp.stack([
+        pad(b / dq, cout), pad(mul * dq, cout), pad(add, cout),
+        pad(jnp.full((cout,), inv_next), cout),
+        pad(jnp.full((cin,), jnp.float32(1.0) / sx), cin),
+    ])
+    with jax.named_scope(f"{name}/down_pallas"):
+        # barrier-pinned boundaries, same rationale as _pw_block
+        xb = jax.lax.optimization_barrier(x.astype(ctx.dtype))
+        out = down_conv_block_q(
+            xb, wq.reshape(9, cin, cout), epi,
+            alpha=ctx.cfg.leaky_relu_alpha,
+            cast_bf16=(ctx.dtype == jnp.bfloat16),
+            interpret=ctx.fused_interpret)
+        return jax.lax.optimization_barrier(out)
+
+
 def _yolo_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
                 x2: Optional[Array] = None) -> Tuple[Array, Array]:
     """5-conv yolo block + route (reference/model.py:50-59). When `x2` is
@@ -605,6 +661,7 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                          requant_residual: bool = True,
                          pointwise_pallas: bool = False,
                          exit_pallas: bool = False,
+                         down_pallas: bool = False,
                          ) -> Tuple[Array, Array, Array]:
     """Inference feature maps, mirroring `YoloV3.apply(..., train=False)`.
 
@@ -620,7 +677,7 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                collect_reduce=collect_reduce,
                requant_residual=requant_residual,
                pointwise_pallas=pointwise_pallas,
-               exit_pallas=exit_pallas)
+               exit_pallas=exit_pallas, down_pallas=down_pallas)
     return tuple(_apply_head(ctx, params, nm, h)
                  for nm, h in _forward_necks(ctx, params, batch_stats, x))
 
@@ -649,27 +706,32 @@ def _forward_necks(ctx: _Ctx, params: dict, batch_stats: dict,
     else:
         y = _conv_block(ctx, f"{d}/ConvBlock_0", p[d]["ConvBlock_0"],
                         bs[d]["ConvBlock_0"], x.astype(ctx.dtype))
-        y = _conv_block(ctx, f"{d}/ConvBlock_1", p[d]["ConvBlock_1"],
-                        bs[d]["ConvBlock_1"], y, stride=2)
+        y = _down_block(ctx, f"{d}/ConvBlock_1", p[d]["ConvBlock_1"],
+                        bs[d]["ConvBlock_1"], y,
+                        f"{d}/FeatureBlock_0/ConvBlock_0")
         y = _feature_block(ctx, f"{d}/FeatureBlock_0",
                            p[d]["FeatureBlock_0"], bs[d]["FeatureBlock_0"],
                            y, 1)
-        y = _conv_block(ctx, f"{d}/ConvBlock_2", p[d]["ConvBlock_2"],
-                        bs[d]["ConvBlock_2"], y, stride=2)
+        y = _down_block(ctx, f"{d}/ConvBlock_2", p[d]["ConvBlock_2"],
+                        bs[d]["ConvBlock_2"], y,
+                        f"{d}/FeatureBlock_1/ConvBlock_0")
     y = _feature_block(ctx, f"{d}/FeatureBlock_1", p[d]["FeatureBlock_1"],
                        bs[d]["FeatureBlock_1"], y, 2)
-    y = _conv_block(ctx, f"{d}/ConvBlock_3", p[d]["ConvBlock_3"],
-                    bs[d]["ConvBlock_3"], y, stride=2)
+    y = _down_block(ctx, f"{d}/ConvBlock_3", p[d]["ConvBlock_3"],
+                    bs[d]["ConvBlock_3"], y,
+                    f"{d}/FeatureBlock_2/ConvBlock_0")
     y = _feature_block(ctx, f"{d}/FeatureBlock_2", p[d]["FeatureBlock_2"],
                        bs[d]["FeatureBlock_2"], y, bc)
     route_s8 = y
-    y = _conv_block(ctx, f"{d}/ConvBlock_4", p[d]["ConvBlock_4"],
-                    bs[d]["ConvBlock_4"], y, stride=2)
+    y = _down_block(ctx, f"{d}/ConvBlock_4", p[d]["ConvBlock_4"],
+                    bs[d]["ConvBlock_4"], y,
+                    f"{d}/FeatureBlock_3/ConvBlock_0")
     y = _feature_block(ctx, f"{d}/FeatureBlock_3", p[d]["FeatureBlock_3"],
                        bs[d]["FeatureBlock_3"], y, bc)
     route_s16 = y
-    y = _conv_block(ctx, f"{d}/ConvBlock_5", p[d]["ConvBlock_5"],
-                    bs[d]["ConvBlock_5"], y, stride=2)
+    y = _down_block(ctx, f"{d}/ConvBlock_5", p[d]["ConvBlock_5"],
+                    bs[d]["ConvBlock_5"], y,
+                    f"{d}/FeatureBlock_4/ConvBlock_0")
     y = _feature_block(ctx, f"{d}/FeatureBlock_4",
                        p[d].get("FeatureBlock_4", {}),
                        bs[d].get("FeatureBlock_4", {}), y, bc // 2)
