@@ -130,3 +130,28 @@ def test_full_model_down_pallas(tmp_path):
         b = np.asarray(b, np.float32)
         d = np.abs(a - b)
         assert d.max() <= 0.15 * b.std() + 1e-6, (d.max(), b.std())
+
+
+def test_kernel_engages_including_stem2():
+    """The Pallas path must actually route: the jaxpr of the down_pallas
+    forward contains one pallas call per downsample site INCLUDING the
+    S2D stem2 (whose lifted kernel is the same 3x3/2 pad-(0,1) shape)."""
+    cfg = ModelConfig(img_size=(64, 64, 3), number_classes=2,
+                      anchors=((8, 16), (16, 8)), compute_dtype="float32")
+    from yolov3_tpu.models.yolo import YoloV3
+
+    m = YoloV3(cfg)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+               train=False)
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    scales = Q.calibrate(v["params"], v["batch_stats"], cfg, x)
+
+    def f(images):
+        return Q.forward_feature_maps(v["params"], v["batch_stats"], cfg,
+                                      images, act_scales=scales,
+                                      down_pallas=True,
+                                      fused_interpret=True)
+
+    text = str(jax.make_jaxpr(f)(x))
+    # stem2 + ConvBlock_3/4/5 (FeatureBlock_4 exists in the default arch)
+    assert text.count("down_conv") >= 4, text.count("down_conv")

@@ -482,14 +482,19 @@ def _feature_block_fused(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
 
 
 def _down_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
-                next_name: str) -> Array:
+                next_name: str, kernel_override: Optional[Array] = None,
+                out_tile: int = 1) -> Array:
     """3x3 stride-2 downsample ConvBlock between backbone stages. With
     `down_pallas` (int8 mode), runs as one Pallas pass that quantizes the
     bf16 block-boundary tensor in-VMEM and emits the NEXT block's
     pre-quantized s8 input (`ops/pallas/down_conv_kernel.py` — XLA's
     emitter runs these strided s8 convs at ~30-45% MXU, DESIGN.md
-    round 3); otherwise the plain `_conv_block`."""
-    w = p["Conv_0"]["kernel"]
+    round 3); otherwise the plain `_conv_block`. Also serves the S2D
+    stem2: its block-domain lifted kernel (`_s2d_kernel_stride2_stay`)
+    is exactly a 3x3 stride-2 pad-(0,1) conv (`kernel_override`/
+    `out_tile`, tiled BN like `_epilogue`)."""
+    w = (p["Conv_0"]["kernel"] if kernel_override is None
+         else kernel_override)
     eligible = (ctx.int8 and ctx.down_pallas and ctx.requant_residual
                 and x.dtype != jnp.int8
                 and w.shape[:2] == (3, 3)
@@ -505,7 +510,11 @@ def _down_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
         eligible = vmem_fits(x.shape[1], x.shape[2], x.shape[0],
                              w.shape[2], w.shape[3])
     if not eligible:
-        return _conv_block(ctx, name, p, bs, x, stride=2)
+        return _conv_block(ctx, name, p, bs, x, stride=2,
+                           kernel_override=kernel_override,
+                           padding=("SAME" if kernel_override is None
+                                    else ((0, 1), (0, 1))),
+                           out_tile=out_tile)
 
     cin, cout = w.shape[2], w.shape[3]
     sx = jnp.float32(ctx.act_scales[name])
@@ -513,6 +522,8 @@ def _down_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
     dq = sx * sw
     mul, add = _bn_affine(ctx.cfg, p, bs)
     b = p["Conv_0"]["bias"].astype(jnp.float32)
+    if out_tile > 1:
+        b, mul, add = (jnp.tile(v, out_tile) for v in (b, mul, add))
     inv_next = jnp.float32(1.0) / jnp.float32(ctx.act_scales[next_name])
     cmax = max(cin, cout)
 
@@ -584,9 +595,10 @@ def _s2d_region(ctx: _Ctx, p: dict, bs: dict, x: Array) -> Array:
                     bs[d]["ConvBlock_0"], x, stride=2, kernel_override=k4,
                     padding=((1, 2), (1, 2)), out_tile=4)
     k2 = Y._s2d_kernel_stride2_stay(p[d]["ConvBlock_1"]["Conv_0"]["kernel"])
-    y = _conv_block(ctx, f"{d}/ConvBlock_1", p[d]["ConvBlock_1"],
-                    bs[d]["ConvBlock_1"], y, stride=2, kernel_override=k2,
-                    padding=((0, 1), (0, 1)), out_tile=4)
+    y = _down_block(ctx, f"{d}/ConvBlock_1", p[d]["ConvBlock_1"],
+                    bs[d]["ConvBlock_1"], y,
+                    f"{d}/FeatureBlock_0/ConvBlock_0",
+                    kernel_override=k2, out_tile=4)
     fb = f"{d}/FeatureBlock_0"
     conv_in, inputs = ctx.block_input(f"{fb}/ConvBlock_0", y)
     kf1 = Y._s2d_kernel_1x1(
