@@ -135,8 +135,10 @@ def main() -> None:
 
     @jax.jit
     def detect_int8(images):
+        # exit_pallas: measured win (28.73 -> 28.47 ms b64, DESIGN.md
+        # round 3 — the barrier-pinned exit-conv kernel)
         fms = Q.forward_feature_maps(params, batch_stats, cfg, images,
-                                     act_scales=scales)
+                                     act_scales=scales, exit_pallas=True)
         return decode_detections(fms, cfg.anchors, cfg.number_classes,
                                  cfg.strides)
 
