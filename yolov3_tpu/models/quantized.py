@@ -281,21 +281,26 @@ def _conv_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
 
 def _pw_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
               next_name: str, residual_q: Optional[Array] = None,
-              res_scale: Optional[Array] = None, emit_bf16: bool = False):
+              res_scale: Optional[Array] = None, emit_bf16: bool = False,
+              kernel_override: Optional[Array] = None, out_tile: int = 1):
     """1x1 ConvBlock via the transposed-view Pallas kernel
     (`ops/pallas/pointwise_kernel.py`): quantize (+ requantized residual
     add) + int8 matmul + folded epilogue + the NEXT conv's input quantize,
     one VMEM-resident pass. Output matches `_conv_block` -> `_quantize_act`
-    up to .5-quantization-boundary noise."""
+    up to .5-quantization-boundary noise. `kernel_override`/`out_tile`
+    serve the S2D region's lifted 1x1 (`_s2d_kernel_1x1`, block-diagonal,
+    tiled BN)."""
     from yolov3_tpu.ops.pallas.pointwise_kernel import pointwise_conv_block_q
 
-    w = p["Conv_0"]["kernel"]
+    w = p["Conv_0"]["kernel"] if kernel_override is None else kernel_override
     cin, cout = w.shape[2], w.shape[3]
     wq, sw = _quantize_weight(w)
     sx = jnp.float32(ctx.act_scales[name])
     dq = sx * sw
     mul, add = _bn_affine(ctx.cfg, p, bs)
     b = p["Conv_0"]["bias"].astype(jnp.float32)
+    if out_tile > 1:
+        b, mul, add = (jnp.tile(v, out_tile) for v in (b, mul, add))
     inv_next = jnp.float32(1.0) / jnp.float32(ctx.act_scales[next_name])
     cmax = max(cin, cout)
 
@@ -603,10 +608,17 @@ def _s2d_region(ctx: _Ctx, p: dict, bs: dict, x: Array) -> Array:
     conv_in, inputs = ctx.block_input(f"{fb}/ConvBlock_0", y)
     kf1 = Y._s2d_kernel_1x1(
         p[d]["FeatureBlock_0"]["ConvBlock_0"]["Conv_0"]["kernel"])
-    z = _conv_block(ctx, f"{fb}/ConvBlock_0",
-                    p[d]["FeatureBlock_0"]["ConvBlock_0"],
-                    bs[d]["FeatureBlock_0"]["ConvBlock_0"], conv_in,
-                    kernel_override=kf1, padding=((0, 0), (0, 0)), out_tile=4)
+    if ctx.pw_eligible(f"{fb}/ConvBlock_0", f"{fb}/ConvBlock_1", kf1):
+        z = _pw_block(ctx, f"{fb}/ConvBlock_0",
+                      p[d]["FeatureBlock_0"]["ConvBlock_0"],
+                      bs[d]["FeatureBlock_0"]["ConvBlock_0"], conv_in,
+                      f"{fb}/ConvBlock_1", kernel_override=kf1, out_tile=4)
+    else:
+        z = _conv_block(ctx, f"{fb}/ConvBlock_0",
+                        p[d]["FeatureBlock_0"]["ConvBlock_0"],
+                        bs[d]["FeatureBlock_0"]["ConvBlock_0"], conv_in,
+                        kernel_override=kf1, padding=((0, 0), (0, 0)),
+                        out_tile=4)
     kf2 = Y._s2d_kernel_stride1(
         p[d]["FeatureBlock_0"]["ConvBlock_1"]["Conv_0"]["kernel"])
     z = _conv_block(ctx, f"{fb}/ConvBlock_1",
