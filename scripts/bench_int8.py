@@ -67,22 +67,20 @@ def main(argv=None):
     scales = Q.calibrate(params, bs, cfg, x[:8])
 
     def make_int8(skip, requant_residual=True, pointwise_pallas=False,
-                  exit_pallas=False, head_decode=False, down_pallas=False):
+                  exit_pallas=False, head_decode=False, down_pallas=False,
+                  conv3_pallas=False):
+        kw = dict(act_scales=scales, quant_skip=skip,
+                  requant_residual=requant_residual,
+                  pointwise_pallas=pointwise_pallas,
+                  exit_pallas=exit_pallas, down_pallas=down_pallas,
+                  conv3_pallas=conv3_pallas)
+
         @jax.jit
         def f(images):
             if head_decode:
-                return Q.forward_detections(
-                    params, bs, cfg, images, act_scales=scales,
-                    quant_skip=skip, requant_residual=requant_residual,
-                    pointwise_pallas=pointwise_pallas,
-                    exit_pallas=exit_pallas, down_pallas=down_pallas,
-                    head_decode_pallas=True)
-            fms = Q.forward_feature_maps(params, bs, cfg, images,
-                                         act_scales=scales, quant_skip=skip,
-                                         requant_residual=requant_residual,
-                                         pointwise_pallas=pointwise_pallas,
-                                         exit_pallas=exit_pallas,
-                                         down_pallas=down_pallas)
+                return Q.forward_detections(params, bs, cfg, images,
+                                            head_decode_pallas=True, **kw)
+            fms = Q.forward_feature_maps(params, bs, cfg, images, **kw)
             return decode_detections(fms, cfg.anchors, cfg.number_classes,
                                      cfg.strides)
         return f
@@ -149,6 +147,12 @@ def main(argv=None):
     bench("int8_kitchen", make_int8(("Darknet53_0/ConvBlock_0",),
                                     exit_pallas=True, down_pallas=True,
                                     head_decode=True))
+    bench("int8_c3", make_int8(("Darknet53_0/ConvBlock_0",),
+                               pointwise_pallas=True, conv3_pallas=True))
+    bench("int8_kitchen_c3", make_int8(("Darknet53_0/ConvBlock_0",),
+                                       down_pallas=True, head_decode=True,
+                                       pointwise_pallas=True,
+                                       conv3_pallas=True))
 
     if os.environ.get("PROFILE_INT8"):
         import collections
@@ -171,6 +175,10 @@ def main(argv=None):
                    "int8_kitchen": make_int8(
                        ("Darknet53_0/ConvBlock_0",), exit_pallas=True,
                        down_pallas=True, head_decode=True),
+                   "int8_kitchen_c3": make_int8(
+                       ("Darknet53_0/ConvBlock_0",), down_pallas=True,
+                       head_decode=True, pointwise_pallas=True,
+                       conv3_pallas=True),
                    }.get(os.environ.get("PROFILE_VARIANT", ""), mirror_int8)
         # compile + settle OUTSIDE the trace window so the trace holds
         # only steady-state device events

@@ -116,7 +116,8 @@ class _Ctx:
                  requant_residual: bool = True,
                  pointwise_pallas: bool = False,
                  exit_pallas: bool = False,
-                 down_pallas: bool = False):
+                 down_pallas: bool = False,
+                 conv3_pallas: bool = False):
         self.cfg = cfg
         self.act_scales = act_scales
         self.collect = collect
@@ -129,6 +130,7 @@ class _Ctx:
         self.collect_reduce = collect_reduce
         self.requant_residual = requant_residual
         self.pointwise_pallas = pointwise_pallas
+        self.conv3_pallas = conv3_pallas
 
     def pw_eligible(self, name: str, next_name: str, w: Array) -> bool:
         """1x1 conv blocks the transposed-view Pallas kernel may replace:
@@ -328,6 +330,59 @@ def _pw_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
         return jax.tree_util.tree_map(jax.lax.optimization_barrier, out)
 
 
+def _conv3_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
+                 next_name: Optional[str],
+                 residual_q: Optional[Array] = None,
+                 res_scale: Optional[Array] = None,
+                 emit_s8: bool = True, emit_bf16: bool = False,
+                 kernel_override: Optional[Array] = None,
+                 out_tile: int = 1):
+    """3x3 stride-1 ConvBlock via the conv3x3 Pallas kernel: int8 taps +
+    folded epilogue + the feature block's residual add + the next conv's
+    input quantize, one VMEM-resident pass. Caller guarantees
+    eligibility (see `_feature_block`'s c3_all guard)."""
+    from yolov3_tpu.ops.pallas.conv3x3_kernel import conv3x3_block_q
+
+    w = p["Conv_0"]["kernel"] if kernel_override is None else kernel_override
+    cin, cout = w.shape[2], w.shape[3]
+    wq, sw = _quantize_weight(w)
+    sx = jnp.float32(ctx.act_scales[name])
+    dq = sx * sw
+    mul, add = _bn_affine(ctx.cfg, p, bs)
+    b = p["Conv_0"]["bias"].astype(jnp.float32)
+    if out_tile > 1:
+        b, mul, add = (jnp.tile(v, out_tile) for v in (b, mul, add))
+    inv_next = (jnp.float32(0.0) if next_name is None
+                else jnp.float32(1.0) / jnp.float32(ctx.act_scales[next_name]))
+    cmax = max(cin, cout)
+
+    def pad(v, n):
+        return jnp.zeros((cmax,), jnp.float32).at[:n].set(v)
+
+    epi = jnp.stack([
+        pad(b / dq, cout), pad(mul * dq, cout), pad(add, cout),
+        pad(jnp.full((cout,), inv_next), cout),
+        pad(jnp.full((cin,), jnp.float32(1.0) / sx), cin),
+        pad(jnp.full((cout,), jnp.float32(0.0) if res_scale is None
+                     else jnp.float32(res_scale)), cout),
+    ])
+    with jax.named_scope(f"{name}/c3"):
+        # barrier-pinned boundaries, same rationale as _pw_block
+        x = jax.lax.optimization_barrier(x)
+        if residual_q is not None:
+            residual_q = jax.lax.optimization_barrier(residual_q)
+        out = conv3x3_block_q(
+            x, wq.reshape(9, cin, cout), epi, residual_q,
+            alpha=ctx.cfg.leaky_relu_alpha, emit_s8=emit_s8,
+            emit_bf16=emit_bf16,
+            cast_bf16=(ctx.dtype == jnp.bfloat16),
+            interpret=ctx.fused_interpret)
+        out = jax.tree_util.tree_map(jax.lax.optimization_barrier, out)
+    if emit_s8 and emit_bf16:
+        return out
+    return out if not isinstance(out, tuple) else out[0]
+
+
 def _conv_block_cat2(ctx: _Ctx, name: str, p: dict, bs: dict,
                      a: Array, b_in: Array) -> Array:
     """`_conv_block` of a 1x1 conv over concatenate([a, b_in], -1) WITHOUT
@@ -384,6 +439,32 @@ def _feature_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
                                   ["Conv_0"]["kernel"])
                   for n1, n2 in names)
               and (reps == 1 or conv_in.dtype == jnp.int8))
+    c3_all = (pw_all and ctx.conv3_pallas and conv_in.dtype == jnp.int8
+              and all(n2 not in ctx.quant_skip
+                      and p[n2.split("/")[-1]]["Conv_0"]["kernel"]
+                      .shape[:2] == (3, 3)
+                      for _, n2 in names)
+              and all(names[r + 1][0] in ctx.act_scales
+                      for r in range(reps - 1)))
+    if c3_all:
+        # FULLY kernelized feature block: 1x1s on the pointwise kernel,
+        # 3x3s + residual adds + boundary quantizes on the conv3x3 kernel
+        # — only s8 tensors touch HBM between passes; the bf16 block
+        # output materializes once, at the last rep.
+        s_in = jnp.float32(ctx.act_scales[f"{name}/ConvBlock_0"])
+        q = conv_in
+        for r, (n1, n2) in enumerate(names):
+            q2 = _pw_block(ctx, n1, p[f"ConvBlock_{2 * r}"],
+                           bs[f"ConvBlock_{2 * r}"], q, n2)
+            last = r == reps - 1
+            out = _conv3_block(ctx, n2, p[f"ConvBlock_{2 * r + 1}"],
+                               bs[f"ConvBlock_{2 * r + 1}"], q2,
+                               next_name=None if last else names[r + 1][0],
+                               residual_q=conv_in, res_scale=s_in,
+                               emit_s8=not last, emit_bf16=last)
+            q = out
+        return out
+
     if pw_all:
         # 1x1s via the Pallas kernel (which also folds the residual add
         # and the 3x3's input quantize); 3x3s stay on XLA's conv emitter
@@ -686,6 +767,7 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                          pointwise_pallas: bool = False,
                          exit_pallas: bool = False,
                          down_pallas: bool = False,
+                         conv3_pallas: bool = False,
                          ) -> Tuple[Array, Array, Array]:
     """Inference feature maps, mirroring `YoloV3.apply(..., train=False)`.
 
@@ -701,7 +783,8 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                collect_reduce=collect_reduce,
                requant_residual=requant_residual,
                pointwise_pallas=pointwise_pallas,
-               exit_pallas=exit_pallas, down_pallas=down_pallas)
+               exit_pallas=exit_pallas, down_pallas=down_pallas,
+               conv3_pallas=conv3_pallas)
     return tuple(_apply_head(ctx, params, nm, h)
                  for nm, h in _forward_necks(ctx, params, batch_stats, x))
 
