@@ -150,7 +150,8 @@ def main(argv=None):
     bench("int8_c3", make_int8(("Darknet53_0/ConvBlock_0",),
                                pointwise_pallas=True, conv3_pallas=True))
     bench("int8_kitchen_c3", make_int8(("Darknet53_0/ConvBlock_0",),
-                                       down_pallas=True, head_decode=True,
+                                       exit_pallas=True, down_pallas=True,
+                                       head_decode=True,
                                        pointwise_pallas=True,
                                        conv3_pallas=True))
 
@@ -176,9 +177,9 @@ def main(argv=None):
                        ("Darknet53_0/ConvBlock_0",), exit_pallas=True,
                        down_pallas=True, head_decode=True),
                    "int8_kitchen_c3": make_int8(
-                       ("Darknet53_0/ConvBlock_0",), down_pallas=True,
-                       head_decode=True, pointwise_pallas=True,
-                       conv3_pallas=True),
+                       ("Darknet53_0/ConvBlock_0",), exit_pallas=True,
+                       down_pallas=True, head_decode=True,
+                       pointwise_pallas=True, conv3_pallas=True),
                    }.get(os.environ.get("PROFILE_VARIANT", ""), mirror_int8)
         # compile + settle OUTSIDE the trace window so the trace holds
         # only steady-state device events

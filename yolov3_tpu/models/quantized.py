@@ -702,11 +702,25 @@ def _s2d_region(ctx: _Ctx, p: dict, bs: dict, x: Array) -> Array:
                         out_tile=4)
     kf2 = Y._s2d_kernel_stride1(
         p[d]["FeatureBlock_0"]["ConvBlock_1"]["Conv_0"]["kernel"])
-    z = _conv_block(ctx, f"{fb}/ConvBlock_1",
-                    p[d]["FeatureBlock_0"]["ConvBlock_1"],
-                    bs[d]["FeatureBlock_0"]["ConvBlock_1"], z,
-                    kernel_override=kf2, padding=((1, 1), (1, 1)), out_tile=4)
-    y = inputs + z
+    nm2, nxt2 = f"{fb}/ConvBlock_1", f"{d}/ConvBlock_2"
+    if (ctx.conv3_pallas and z.dtype == jnp.int8
+            and nm2 not in ctx.quant_skip and nm2 in ctx.act_scales
+            and nxt2 not in ctx.quant_skip and nxt2 in ctx.act_scales):
+        # FB0's lifted stride-1 3x3 + the residual add + the exit conv's
+        # input quantize, one conv3x3-kernel pass (s8 in, s8 out)
+        y = _conv3_block(ctx, nm2, p[d]["FeatureBlock_0"]["ConvBlock_1"],
+                         bs[d]["FeatureBlock_0"]["ConvBlock_1"], z,
+                         next_name=nxt2, residual_q=conv_in,
+                         res_scale=jnp.float32(
+                             ctx.act_scales[f"{fb}/ConvBlock_0"]),
+                         kernel_override=kf2, out_tile=4)
+    else:
+        z = _conv_block(ctx, f"{fb}/ConvBlock_1",
+                        p[d]["FeatureBlock_0"]["ConvBlock_1"],
+                        bs[d]["FeatureBlock_0"]["ConvBlock_1"], z,
+                        kernel_override=kf2, padding=((1, 1), (1, 1)),
+                        out_tile=4)
+        y = inputs + z
     k3 = Y._s2d_kernel_stride2_exit(p[d]["ConvBlock_2"]["Conv_0"]["kernel"])
     nm, nxt = f"{d}/ConvBlock_2", f"{d}/FeatureBlock_1/ConvBlock_0"
     if ctx.int8 and ctx.exit_pallas and _exit_eligible(ctx, nm, nxt, k3, y):
@@ -728,7 +742,8 @@ def _s2d_region(ctx: _Ctx, p: dict, bs: dict, x: Array) -> Array:
             # the barriers stop XLA from sinking the kernel's (bitcast)
             # boundary transposes into the neighbouring convs, which would
             # re-run THEM in the transposed layout (measured +2.8 ms)
-            xq = jax.lax.optimization_barrier(_quantize_act(y, sx))
+            xq = jax.lax.optimization_barrier(
+                y if y.dtype == jnp.int8 else _quantize_act(y, sx))
             out = exit_conv_block_q(
                 xq, wq.reshape(4, *wq.shape[2:]), epi,
                 alpha=ctx.cfg.leaky_relu_alpha,
@@ -748,7 +763,7 @@ def _exit_eligible(ctx: _Ctx, nm: str, nxt: str, k3: Array,
     the per-image block within its VMEM plan."""
     from yolov3_tpu.ops.pallas.exit_conv_kernel import vmem_fits
 
-    return (ctx.requant_residual and not ctx.pointwise_pallas
+    return (ctx.requant_residual
             and nm not in ctx.quant_skip and nxt not in ctx.quant_skip
             and nm in ctx.act_scales and nxt in ctx.act_scales
             and vmem_fits(y.shape[1], y.shape[2], y.shape[0],
