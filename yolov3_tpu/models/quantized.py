@@ -447,6 +447,15 @@ def _feature_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
               and all(names[r + 1][0] in ctx.act_scales
                       for r in range(reps - 1)))
     if c3_all:
+        from yolov3_tpu.ops.pallas.conv3x3_kernel import vmem_fits as c3_fits
+
+        k3 = p["ConvBlock_1"]["Conv_0"]["kernel"]
+        n_, h_, w_, _ = conv_in.shape
+        c3_all = (c3_fits(h_, w_, n_, k3.shape[2], k3.shape[3],
+                          has_res=True)
+                  and c3_fits(h_, w_, n_, k3.shape[2], k3.shape[3],
+                              has_res=True, emit_bf16=True))
+    if c3_all:
         # FULLY kernelized feature block: 1x1s on the pointwise kernel,
         # 3x3s + residual adds + boundary quantizes on the conv3x3 kernel
         # — only s8 tensors touch HBM between passes; the bf16 block
@@ -703,9 +712,17 @@ def _s2d_region(ctx: _Ctx, p: dict, bs: dict, x: Array) -> Array:
     kf2 = Y._s2d_kernel_stride1(
         p[d]["FeatureBlock_0"]["ConvBlock_1"]["Conv_0"]["kernel"])
     nm2, nxt2 = f"{fb}/ConvBlock_1", f"{d}/ConvBlock_2"
+
+    def _fb0_c3_ok():
+        from yolov3_tpu.ops.pallas.conv3x3_kernel import vmem_fits as c3f
+
+        return c3f(z.shape[1], z.shape[2], z.shape[0], kf2.shape[2],
+                   kf2.shape[3], has_res=True)
+
     if (ctx.conv3_pallas and z.dtype == jnp.int8
             and nm2 not in ctx.quant_skip and nm2 in ctx.act_scales
-            and nxt2 not in ctx.quant_skip and nxt2 in ctx.act_scales):
+            and nxt2 not in ctx.quant_skip and nxt2 in ctx.act_scales
+            and _fb0_c3_ok()):
         # FB0's lifted stride-1 3x3 + the residual add + the exit conv's
         # input quantize, one conv3x3-kernel pass (s8 in, s8 out)
         y = _conv3_block(ctx, nm2, p[d]["FeatureBlock_0"]["ConvBlock_1"],
