@@ -130,3 +130,24 @@ def test_full_model_c3():
 
     fid = Q.decode_iou_fidelity(boxes(ref), boxes(got), top_k=10)
     assert fid > 0.95, fid
+
+
+def test_all_kernels_engage_full_model():
+    """With every serving kernel flag on, the forward routes through the
+    expected number of Pallas passes (stem2+CB3/4/5 downsamples, FB0 tail,
+    exit, per-FB pw+conv3 chains) — a regression net for eligibility
+    guards silently falling back to XLA."""
+    from yolov3_tpu.models.yolo import YoloV3
+
+    cfg = ModelConfig(img_size=(64, 64, 3), number_classes=2,
+                      anchors=((8, 16), (16, 8)), compute_dtype="float32")
+    m = YoloV3(cfg)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+               train=False)
+    x = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    scales = Q.calibrate(v["params"], v["batch_stats"], cfg, x)
+    jx = str(jax.make_jaxpr(lambda im: Q.forward_feature_maps(
+        v["params"], v["batch_stats"], cfg, im, act_scales=scales,
+        pointwise_pallas=True, conv3_pallas=True, down_pallas=True,
+        exit_pallas=True, fused_interpret=True))(x))
+    assert jx.count("pallas_call") >= 20, jx.count("pallas_call")
