@@ -88,6 +88,31 @@ def main(argv=None):
             dt = min(dt, (time.perf_counter() - t0) / args.iters)
         print(f"[{label}] {dt * 1e3:.2f} ms/step  {tb / dt:.1f} img/s",
               flush=True)
+
+        if os.environ.get("PROFILE_TRAIN"):
+            # per-fusion device-time attribution of this variant's step
+            # (same methodology as bench_int8.py's PROFILE_INT8)
+            from _profile_util import (collect_device_durations,
+                                       dump_slow_fusions, print_attribution)
+
+            hlo = step.lower(state, tbatch, lr).compile().as_text()
+            holder = {"s": state}
+
+            def run_once():
+                s, _ = step(holder["s"], tbatch, lr)
+                holder["s"] = s
+                return s
+
+            def settle(s):
+                jax.device_get(
+                    jax.tree_util.tree_leaves(s.params)[0][..., :1])
+
+            durs = collect_device_durations(jax, run_once, settle)
+            print_attribution(durs, hlo, tail_parts=5)
+            ndump = int(os.environ.get("DUMP_FUSIONS", "0"))
+            if ndump:
+                dump_slow_fusions(durs, hlo, ndump)
+            state = holder["s"]
         del state, step, tbatch
 
 

@@ -95,6 +95,23 @@ def test_multiband_grid():
     assert_quant_close(got, ref)
 
 
+def test_single_output_row_bands(monkeypatch):
+    """orows=1 plan (what the full-model stem2 shape hits on TPU): the u=2
+    row tap is halo-only — the in-band slice is empty, and Mosaic rejects
+    zero-sized vectors (round-3 sweep crash). Force the plan down to one
+    output row per band via a tiny VMEM budget."""
+    from yolov3_tpu.ops.pallas import down_conv_kernel as K
+
+    rng = np.random.RandomState(9)
+    cin, cout, h = 16, 16, 16
+    budget = K._estimate(1, h, 2, cin, cout)
+    assert K._estimate(2, h, 2, cin, cout) > budget
+    monkeypatch.setattr(K, "_VMEM_BUDGET", budget)
+    assert K._plan(h, h, 2, cin, cout)[0] == 1
+    got, ref = mirror_pair(rng, cin, cout, h)
+    assert_quant_close(got, ref)
+
+
 def test_fallback_when_ineligible():
     """Without calibrated scales for the next block, falls back to the
     XLA conv block (bf16 output, not s8)."""

@@ -102,7 +102,11 @@ def _kernel(x_ref, halo_ref, w_ref, epi_ref, out_ref, *, orows: int,
     mr = main.reshape(orows, 2, w, bt, c)
     u0 = mr[:, 0]                                # rows 0,2,...  [orows,...]
     u1 = mr[:, 1]                                # rows 1,3,...
-    u2 = jnp.concatenate([mr[1:, 0], halo], axis=0)  # rows 2,4,...,2*orows
+    # rows 2,4,...,2*orows; with a single output row per band the in-band
+    # part is empty and Mosaic rejects zero-sized vectors, so the tap is
+    # just the halo row (orows is static — plain Python branch)
+    u2 = (jnp.concatenate([mr[1:, 0], halo], axis=0) if orows > 1
+          else halo)
 
     acc = None
     for u, rows_u in enumerate((u0, u1, u2)):
@@ -110,8 +114,9 @@ def _kernel(x_ref, halo_ref, w_ref, epi_ref, out_ref, *, orows: int,
         cr = rows_u.reshape(orows, wo, 2, bt, c)
         v0 = cr[:, :, 0]
         v1 = cr[:, :, 1]
-        v2 = jnp.concatenate(
+        v2 = (jnp.concatenate(
             [cr[:, 1:, 0], jnp.zeros((orows, 1, bt, c), jnp.int8)], axis=1)
+            if wo > 1 else jnp.zeros((orows, 1, bt, c), jnp.int8))
         for v, tap in enumerate((v0, v1, v2)):
             part = jax.lax.dot_general(
                 tap.reshape(orows * wo * bt, c), w_ref[u * 3 + v], _MM,
