@@ -135,8 +135,9 @@ def main() -> None:
 
     @jax.jit
     def detect_int8(images):
-        # exit_pallas: measured win (28.73 -> 28.47 ms b64, DESIGN.md
-        # round 3 — the barrier-pinned exit-conv kernel)
+        # exit_pallas: the round-3 sweep's single surviving kernel win
+        # (28.69 vs 28.84 ms b64 XLA mirror; every other staged kernel
+        # regressed the full model — DESIGN.md round-3 sweep table)
         fms = Q.forward_feature_maps(params, batch_stats, cfg, images,
                                      act_scales=scales, exit_pallas=True)
         return decode_detections(fms, cfg.anchors, cfg.number_classes,

@@ -895,15 +895,18 @@ def forward_detections(params: dict, batch_stats: dict, cfg: ModelConfig,
                        x: Array,
                        act_scales: Optional[Dict[str, float]] = None,
                        quant_skip: Sequence[str] = DEFAULT_QUANT_SKIP,
-                       head_decode_pallas: bool = True,
+                       head_decode_pallas: bool = False,
                        fused_interpret: bool = False,
                        **fm_kwargs) -> Array:
     """Feature maps -> decoded detections [B, num_boxes, 4+1+C] in one
-    call. With `head_decode_pallas` (default), each scale's head conv +
-    box decode runs as one Pallas pass (`ops/pallas/head_decode_kernel`),
-    skipping the XLA head conv's 14-lane layout trap and the
-    decode-adjacent fusions (~1.5 ms at b64, DESIGN.md round 3);
-    otherwise identical to `decode_detections(forward_feature_maps(...))`.
+    call. With `head_decode_pallas`, each scale's head conv + box decode
+    runs as one Pallas pass (`ops/pallas/head_decode_kernel`), bypassing
+    the XLA head conv's 14-lane layout trap and the decode-adjacent
+    fusions. Default OFF: the round-3 full-model A/B measured it a
+    0.42 ms REGRESSION at the b64 operating point (29.11 vs 28.69 ms
+    with the exit kernel alone, DESIGN.md round-3 sweep) — the
+    attribution's per-op estimate did not survive whole-graph fusion.
+    Otherwise identical to `decode_detections(forward_feature_maps(...))`.
     """
     from yolov3_tpu.ops.pallas.head_decode_kernel import (head_decode,
                                                           vmem_fits)
@@ -967,25 +970,46 @@ def calibrate(params: dict, batch_stats: dict, cfg: ModelConfig,
     return {k: max(float(v), 1e-12) / 127.0 for k, v in vals.items()}
 
 
+def default_serving_kernels() -> Dict[str, bool]:
+    """The measured-winner Pallas kernel flag set for int8 serving.
+
+    Round-3 full-model A/B at the b64 operating point (DESIGN.md round-3
+    sweep): ONLY the barrier-pinned exit-conv kernel beats the XLA mirror
+    (28.69 vs 28.84 ms); every other staged kernel (downsample, head
+    +decode, pointwise, conv3 chain, fused FeatureBlock) regresses the
+    full model despite winning its op in isolation. Gated to the TPU
+    backend — on CPU Mosaic kernels only run in interpret mode, a test
+    facility, so the dict is empty there and the XLA mirror serves.
+    """
+    if jax.default_backend() == "tpu":
+        return {"exit_pallas": True}
+    return {}
+
+
 def make_quantized_detector_fn(saved_model_filepath: str,
                                calib_images: Array,
                                calib_percentile: Optional[float] = None,
-                               head_decode_pallas: bool = False):
+                               head_decode_pallas: bool = False,
+                               kernels: Optional[Dict[str, bool]] = None):
     """int8 twin of `inference.make_detector_fn`: detect(images NHWC f32)
     -> decoded detections [B, num_boxes, 4+1+C] (no NMS — callers like the
     tiled pipeline run their own per-tile NMS). `calib_images`: a
-    representative z-scored batch for activation-scale calibration."""
+    representative z-scored batch for activation-scale calibration.
+    `kernels`: Pallas-kernel flag overrides (default: the measured
+    winners, `default_serving_kernels`)."""
     from yolov3_tpu.utils import checkpoint as ckpt
 
     params, batch_stats, cfg = ckpt.load_model(saved_model_filepath)
     scales = calibrate(params, batch_stats, cfg, calib_images,
                        percentile=calib_percentile)
+    kw = default_serving_kernels() if kernels is None else dict(kernels)
+    hd = kw.pop("head_decode_pallas", head_decode_pallas)
 
     @jax.jit
     def detect(images: Array) -> Array:
         return forward_detections(params, batch_stats, cfg, images,
                                   act_scales=scales,
-                                  head_decode_pallas=head_decode_pallas)
+                                  head_decode_pallas=hd, **kw)
 
     return detect, cfg
 
@@ -995,13 +1019,15 @@ def make_quantized_serving_fn(saved_model_filepath: str,
                               icfg: Optional[InferenceConfig] = None,
                               min_box_size: Optional[int] = None,
                               calib_percentile: Optional[float] = None,
-                              head_decode_pallas: bool = False):
+                              head_decode_pallas: bool = False,
+                              kernels: Optional[Dict[str, bool]] = None):
     """int8 twin of `inference.make_serving_fn`: ONE jitted program from
     z-scored images to (boxes, scores, keep) — int8 backbone/neck convs,
     bf16 heads, f32 decode, device NMS.
 
     `calib_images`: a representative (z-scored, NHWC f32) batch for
-    activation-scale calibration.
+    activation-scale calibration. `kernels`: Pallas-kernel flag overrides
+    (default: the measured winners, `default_serving_kernels`).
     """
     from yolov3_tpu.ops.nms import batched_nms_device
     from yolov3_tpu.utils import checkpoint as ckpt
@@ -1012,6 +1038,8 @@ def make_quantized_serving_fn(saved_model_filepath: str,
     params, batch_stats, cfg = ckpt.load_model(saved_model_filepath)
     scales = calibrate(params, batch_stats, cfg, calib_images,
                        percentile=calib_percentile)
+    kw = default_serving_kernels() if kernels is None else dict(kernels)
+    hd = kw.pop("head_decode_pallas", head_decode_pallas)
 
     @jax.jit
     def serve(images: Array):
@@ -1022,7 +1050,7 @@ def make_quantized_serving_fn(saved_model_filepath: str,
         img_h, img_w = images.shape[1], images.shape[2]
         det = forward_detections(params, batch_stats, cfg, images,
                                  act_scales=scales,
-                                 head_decode_pallas=head_decode_pallas)
+                                 head_decode_pallas=hd, **kw)
         clipped = jnp.concatenate([
             jnp.clip(det[..., 0:1], 0, img_w),
             jnp.clip(det[..., 1:2], 0, img_h),
