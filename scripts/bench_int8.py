@@ -68,7 +68,7 @@ def main(argv=None):
 
     def make_int8(skip, requant_residual=True, pointwise_pallas=False,
                   exit_pallas=False, head_decode=False, down_pallas=False,
-                  conv3_pallas=False):
+                  conv3_pallas=False, head_pad=False):
         kw = dict(act_scales=scales, quant_skip=skip,
                   requant_residual=requant_residual,
                   pointwise_pallas=pointwise_pallas,
@@ -77,9 +77,10 @@ def main(argv=None):
 
         @jax.jit
         def f(images):
-            if head_decode:
+            if head_decode or head_pad:
                 return Q.forward_detections(params, bs, cfg, images,
-                                            head_decode_pallas=True, **kw)
+                                            head_decode_pallas=head_decode,
+                                            head_pad=head_pad, **kw)
             fms = Q.forward_feature_maps(params, bs, cfg, images, **kw)
             return decode_detections(fms, cfg.anchors, cfg.number_classes,
                                      cfg.strides)
@@ -139,6 +140,8 @@ def main(argv=None):
     bench("int8_skip_stem1", make_int8(("Darknet53_0/ConvBlock_0",)))
     bench("int8_exit_pallas", make_int8(("Darknet53_0/ConvBlock_0",),
                                         exit_pallas=True))
+    bench("int8_headpad", make_int8(("Darknet53_0/ConvBlock_0",),
+                                    exit_pallas=True, head_pad=True))
     bench("int8_fused_fb4", make_fused(("Darknet53_0/FeatureBlock_4",)))
     bench("int8_headdec", make_int8(("Darknet53_0/ConvBlock_0",),
                                     exit_pallas=True, head_decode=True))
@@ -168,6 +171,9 @@ def main(argv=None):
                    "int8_skip_stem1": make_int8(("Darknet53_0/ConvBlock_0",)),
                    "int8_exit_pallas": make_int8(
                        ("Darknet53_0/ConvBlock_0",), exit_pallas=True),
+                   "int8_headpad": make_int8(
+                       ("Darknet53_0/ConvBlock_0",), exit_pallas=True,
+                       head_pad=True),
                    "int8_pointwise": make_int8(Q.DEFAULT_QUANT_SKIP,
                                                pointwise_pallas=True),
                    "int8_headdec": make_int8(

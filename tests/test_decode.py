@@ -103,6 +103,29 @@ class TestDecodeDetections:
         want = np.concatenate(rows, axis=1)
         np.testing.assert_allclose(det, want, rtol=1e-4, atol=1e-4)
 
+    def test_anchor_pad_bit_matches_unpadded(self, rng):
+        """Co-padded decode (head-conv lane padding) is bit-identical to
+        the unpadded decode and ignores garbage in the pad lanes."""
+        num_classes = 2
+        a = len(ANCHORS)
+        d = 5 + num_classes
+        dp = 32
+        h = w = 64
+        fms, padded = [], []
+        for s in (32, 16, 8):
+            fm = rng.randn(2, h // s, w // s, a * d).astype(np.float32)
+            blocks = fm.reshape(2, h // s, w // s, a, d)
+            junk = 100.0 * rng.randn(2, h // s, w // s, a, dp - d)
+            pad = np.concatenate([blocks, junk], axis=-1).astype(np.float32)
+            fms.append(fm)
+            padded.append(pad.reshape(2, h // s, w // s, a * dp))
+        want = np.asarray(decode_detections(fms, ANCHORS, num_classes,
+                                            strides=(32, 16, 8)))
+        got = np.asarray(decode_detections(padded, ANCHORS, num_classes,
+                                           strides=(32, 16, 8),
+                                           anchor_pad=dp))
+        np.testing.assert_array_equal(got, want)
+
     def test_corners_not_clipped(self):
         """Reference leaves decode corners unclipped (reference/model.py:202-208)."""
         num_classes = 1

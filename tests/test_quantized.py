@@ -42,6 +42,30 @@ class TestWiringParity:
                                        rtol=2e-4, atol=2e-4)
 
 
+class TestHeadPad:
+    def test_head_pad_matches_unpadded(self):
+        """Co-padded head convs + dp-strided decode reproduce the plain
+        forward_detections output to last-ulp tolerance (the pad lanes are
+        zero-weight and never touch the real lanes; the only residue is
+        the conv's different reduction tiling at Co=128 vs Co=14)."""
+        cfg, model, variables, x = make_model(True)
+        assert Q.head_pad_width(cfg) == 64  # A=2, d=7 -> dp=64
+        p, bs = variables["params"], variables["batch_stats"]
+        want = np.asarray(Q.forward_detections(p, bs, cfg, x))
+        got = np.asarray(Q.forward_detections(p, bs, cfg, x, head_pad=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_head_pad_width_fallbacks(self):
+        # A=3 does not divide 128 -> no padding
+        cfg3 = ModelConfig(img_size=(64, 64, 3), number_classes=2,
+                           anchors=((16, 16), (32, 32), (64, 64)))
+        assert Q.head_pad_width(cfg3) == 0
+        # huge class count: A*(5+C) >= 128 already -> no padding
+        cfg_wide = ModelConfig(img_size=(64, 64, 3), number_classes=123,
+                               anchors=ANCHORS)
+        assert Q.head_pad_width(cfg_wide) == 0
+
+
 class TestCalibration:
     def test_scales_cover_every_conv(self):
         cfg, model, variables, x = make_model(True)

@@ -117,7 +117,8 @@ class _Ctx:
                  pointwise_pallas: bool = False,
                  exit_pallas: bool = False,
                  down_pallas: bool = False,
-                 conv3_pallas: bool = False):
+                 conv3_pallas: bool = False,
+                 head_pad: bool = False):
         self.cfg = cfg
         self.act_scales = act_scales
         self.collect = collect
@@ -131,6 +132,7 @@ class _Ctx:
         self.requant_residual = requant_residual
         self.pointwise_pallas = pointwise_pallas
         self.conv3_pallas = conv3_pallas
+        self.head_pad = head_pad
 
     def pw_eligible(self, name: str, next_name: str, w: Array) -> bool:
         """1x1 conv blocks the transposed-view Pallas kernel may replace:
@@ -821,11 +823,42 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                  for nm, h in _forward_necks(ctx, params, batch_stats, x))
 
 
+def head_pad_width(cfg: ModelConfig) -> int:
+    """Per-anchor padded channel width dp for the head-conv Co padding,
+    or 0 when padding does not apply.
+
+    MEASURED NEGATIVE — kept behind `head_pad=False`. Hypothesis was
+    that the head conv's batch-minor f32[B,gh,gw,14]{0,3,2,1} output
+    (0.68 ms vs ~0.005 compute, DESIGN.md round-3 profile) is a layout
+    trap escapable by zero-padding Co to a full 128 lanes. Full-model
+    A/B at b64: 33.27 ms vs 28.53 (+4.7 ms) — batch-minor was XLA being
+    smart (batch=64 fills the lane dim; channel-minor at 14 lanes wastes
+    89% of every vector), and padding made every decode intermediate ~9x
+    more physical traffic. The packed decode's `anchor_pad` support and
+    this helper stay as the tested record of the experiment."""
+    a = len(cfg.anchors)
+    d = 5 + cfg.number_classes
+    if 128 % a == 0 and 128 // a >= d and a * d < 128:
+        return 128 // a
+    return 0
+
+
 def _apply_head(ctx: _Ctx, p: dict, name: str, h: Array) -> Array:
     """Detection head: plain 1x1 conv + bias in the compute dtype
-    (accuracy-critical, stays unquantized in every mode)."""
+    (accuracy-critical, stays unquantized in every mode). With
+    `ctx.head_pad`, Co is zero-padded per anchor to `head_pad_width`
+    lanes (decode slices the pad away; bit-identical outputs)."""
     w = p[name]["Conv_0"]["kernel"].astype(ctx.dtype)
     b = p[name]["Conv_0"]["bias"].astype(ctx.dtype)
+    dp = head_pad_width(ctx.cfg) if ctx.head_pad else 0
+    if dp:
+        a = len(ctx.cfg.anchors)
+        d = 5 + ctx.cfg.number_classes
+        kh, kw, ci, _ = w.shape
+        w = jnp.pad(w.reshape(kh, kw, ci, a, d),
+                    ((0, 0), (0, 0), (0, 0), (0, 0), (0, dp - d))
+                    ).reshape(kh, kw, ci, a * dp)
+        b = jnp.pad(b.reshape(a, d), ((0, 0), (0, dp - d))).reshape(a * dp)
     return jax.lax.conv_general_dilated(
         h, w, (1, 1), "SAME", dimension_numbers=_DN) + b
 
@@ -922,8 +955,9 @@ def forward_detections(params: dict, batch_stats: dict, cfg: ModelConfig,
         for _, h in necks)
     if not use_kernel:
         fms = [_apply_head(ctx, params, nm, h) for nm, h in necks]
+        dp = head_pad_width(cfg) if ctx.head_pad else 0
         return decode_detections(fms, cfg.anchors, cfg.number_classes,
-                                 cfg.strides)
+                                 cfg.strides, anchor_pad=dp)
     parts = []
     for (nm, h), stride in zip(necks, cfg.strides):
         w = params[nm]["Conv_0"]["kernel"]
