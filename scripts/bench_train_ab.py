@@ -48,6 +48,8 @@ def main(argv=None):
     mesh = make_mesh(n_devices=1)
 
     variants = (("bf16", {}),
+                ("unpacked_loss", {"_tcfg": {"packed_loss": False}}),
+                ("stem1_im2row", {"stem1_im2row_grads": True}),
                 ("int8_ste", {"int8_train": True}),
                 ("base_grads", {"s2d_base_grads": True}),
                 ("bg_stem1", {"s2d_base_grads": ("stem1_direct",)}),
@@ -59,6 +61,8 @@ def main(argv=None):
         keep = set(args.only.split(","))
         variants = tuple(v for v in variants if v[0] in keep)
     for label, kw in variants:
+        kw = dict(kw)
+        tcfg = TrainConfig(batch_size=tb, **kw.pop("_tcfg", {}))
         cfg = ModelConfig(img_size=(args.img, args.img, 3), number_classes=2,
                           anchors=((64, 384), (384, 64)),
                           compute_dtype="bfloat16", **kw)

@@ -6,7 +6,8 @@ import numpy as np
 import pytest
 
 from yolov3_tpu.data.encoder import encode_boxes
-from yolov3_tpu.ops.loss import YoloLoss, compute_loss, loss_layer
+from yolov3_tpu.ops.loss import (YoloLoss, compute_loss, loss_layer,
+                                 loss_layer_packed)
 
 ANCHORS = [(32, 32), (128, 128)]
 NUM_CLASSES = 2
@@ -149,6 +150,69 @@ class TestLossLayer:
 
         g = jax.grad(f)(fm)
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestPackedLoss:
+    """The lane-domain loss must agree with the 5D formulation in value AND
+    gradient (it drives the fast train step)."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_values_match_unpacked(self, seed):
+        rng = np.random.RandomState(seed)
+        img = (64, 64, 3)
+        gts = make_gt(img, [[8, 8, 20, 24, 0], [30, 28, 30, 30, 1]])
+        for gt, stride in zip(gts, (32, 16, 8)):
+            gh, gw = gt.shape[0], gt.shape[1]
+            fm = rng.randn(2, gh, gw, A * (5 + NUM_CLASSES)).astype(np.float32)
+            gt_b = np.stack([gt, np.zeros_like(gt)])
+            want = loss_layer(fm, gt_b, ANCHORS, NUM_CLASSES, stride)
+            got = loss_layer_packed(fm, gt_b, ANCHORS, NUM_CLASSES, stride)
+            for g_, w_ in zip(got, want):
+                assert float(g_) == pytest.approx(float(w_), rel=1e-5,
+                                                  abs=1e-7)
+
+    def test_empty_batch_matches_unpacked(self, rng):
+        """V=0 edge case: nothing ignored, objectness everywhere."""
+        img = (64, 64, 3)
+        gts = make_gt(img, np.zeros((0, 5)))
+        gt = np.stack([gts[0], gts[0]])
+        fm = rng.randn(2, 2, 2, A * (5 + NUM_CLASSES)).astype(np.float32)
+        want = loss_layer(fm, gt, ANCHORS, NUM_CLASSES, 32)
+        got = loss_layer_packed(fm, gt, ANCHORS, NUM_CLASSES, 32)
+        for g_, w_ in zip(got, want):
+            assert float(g_) == pytest.approx(float(w_), rel=1e-5, abs=1e-7)
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_gradients_match_unpacked(self, seed):
+        import jax
+        rng = np.random.RandomState(seed)
+        img = (64, 64, 3)
+        gt = make_gt(img, [[8, 8, 20, 24, 0], [40, 40, 16, 16, 1]])[0][None]
+        # large logits exercise the exp-overflow guard on non-wh lanes
+        fm = (4.0 * rng.randn(1, 2, 2, A * (5 + NUM_CLASSES))
+              ).astype(np.float32)
+
+        def total(layer, x):
+            xy, wh, obj, cls = layer(x, gt, ANCHORS, NUM_CLASSES, 32)
+            return xy + wh + obj + cls
+
+        g_want = np.asarray(jax.grad(lambda x: total(loss_layer, x))(fm))
+        g_got = np.asarray(
+            jax.grad(lambda x: total(loss_layer_packed, x))(fm))
+        assert np.all(np.isfinite(g_got))
+        np.testing.assert_allclose(g_got, g_want, rtol=1e-4, atol=1e-6)
+
+    def test_compute_loss_packed_flag(self, rng):
+        img = (64, 64, 3)
+        gts = make_gt(img, [[8, 8, 20, 24, 0]])
+        fms = [rng.randn(1, g.shape[0], g.shape[1],
+                         A * (5 + NUM_CLASSES)).astype(np.float32)
+               for g in gts]
+        want = compute_loss(fms, [g[None] for g in gts], ANCHORS, NUM_CLASSES)
+        got = compute_loss(fms, [g[None] for g in gts], ANCHORS, NUM_CLASSES,
+                           packed=True)
+        for g_, w_ in zip(got, want):
+            assert float(g_) == pytest.approx(float(w_), rel=1e-5, abs=1e-7)
 
 
 class TestComputeLoss:

@@ -146,6 +146,35 @@ class TestStemEquivalence:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-2)
 
+    def test_stem1_im2row_grads_match_autodiff(self, rng):
+        """`stem1_im2row_grads` (weight grad via im2row patches matmul)
+        must reproduce plain autodiff through the lifted stem1 kernel —
+        params AND input cotangents, train mode, f32."""
+        base = dict(img_size=(64, 64, 3), number_classes=2,
+                    anchors=((16, 16), (32, 32)), block_count=1,
+                    filter_count=64, compute_dtype="float32",
+                    stem_space_to_depth=True)
+        on = YoloV3(ModelConfig(stem1_im2row_grads=True, **base))
+        off = YoloV3(ModelConfig(stem1_im2row_grads=False, **base))
+        x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+        variables = on.init(jax.random.PRNGKey(1), x, train=False)
+
+        def loss(model, params, xx):
+            fms, _ = model.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                xx, train=True, mutable=["batch_stats"])
+            return sum(jnp.sum(jnp.square(fm)) for fm in fms)
+
+        g_on = jax.grad(lambda p, xx: loss(on, p, xx),
+                        argnums=(0, 1))(variables["params"], x)
+        g_off = jax.grad(lambda p, xx: loss(off, p, xx),
+                         argnums=(0, 1))(variables["params"], x)
+        for a, b in zip(jax.tree_util.tree_leaves(g_on),
+                        jax.tree_util.tree_leaves(g_off)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-2)
+
     def test_odd_input_channels(self, rng):
         """Grayscale (C=1) images work through the S2D stem."""
         base = dict(img_size=(64, 64, 1), number_classes=1,

@@ -87,6 +87,15 @@ class ModelConfig:
     # shapes and REGRESS the 512px b16 train step (67.4 vs 47.0 ms), so
     # the default stays off.
     s2d_base_grads: Any = False
+    # stem1-direct weight-grad via im2row patches + one [48,N]@[N,128]
+    # matmul (models/yolo.py::_stem1_conv_im2row_grads) instead of
+    # autodiff's f01b_i01o conv, which strands the MXU on 3 input
+    # channels (~50x its flop floor, 3.45 ms of the 47 ms bf16 b16 train
+    # step — DESIGN.md round-3 train profile). Forward is identical.
+    # MEASURED NEGATIVE: +2.3 ms/step at bf16 b16 512px — materializing
+    # the [B,ho,wo,16C] patch tensor costs more than the lane-starved
+    # conv it replaces (DESIGN.md round-3 ledger). Default stays off.
+    stem1_im2row_grads: bool = False
     # int8-forward training: ConvBlock forwards run on the int8 MXU path
     # (v5e doubles the bf16 rate) with dynamic per-batch quantization;
     # backward is the plain bf16 conv VJP at the saved full-precision
@@ -188,6 +197,15 @@ class TrainConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-7
+    # Lane-domain loss (ops/loss.py::loss_layer_packed): same math on the
+    # feature maps' native [B,gh,gw,A*(5+C)] layout. Motivated by the
+    # round-3 train profile (~7-8 ms/step in 5D 7-lane loss fusions) but
+    # MEASURED NEGATIVE at the full-step operating point: 49.8 ms/step
+    # vs 46.9 for the 5D formulation (bf16 b16 512px) — the lane-axis
+    # rolls and full-lane per-anchor IoU intermediates cost more than
+    # the 5D slicing they replace (DESIGN.md round-3 ledger). Kept as a
+    # tested alternative formulation; default off.
+    packed_loss: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -342,6 +342,68 @@ def _s2d_conv_bwd(kind, dtype, res, dy):
 _s2d_conv.defvjp(_s2d_conv_fwd, _s2d_conv_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _stem1_conv_im2row_grads(x: Array, w: Array, dtype: Any) -> Array:
+    """stem1-direct conv with the weight grad computed as an im2row matmul.
+
+    Forward is bit-identical to conv-ing the lifted [4,4,Ci,4Co] kernel
+    (the default stem1 path). The custom VJP replaces autodiff's
+    weight-grad conv — f01b_i01o producing f32[4,4,3,128], which runs
+    ~50x above its flop floor because 3 input channels strand the MXU
+    (3.45 ms of the 47 ms bf16 b16 train step, DESIGN.md round-3 train
+    profile) — with: extract the 4x4/2 input patches as four shifted
+    space-to-depth views (pure layout), then ONE [48, N] @ [N, 4Co]
+    matmul contracting the batch*positions axis with f32 accumulation.
+    The base-kernel grad falls out through the lift's own transpose.
+    """
+    lift, strides, pad = _S2D_CONV_KINDS["stem1_direct"]
+    return jax.lax.conv_general_dilated(x, lift(w).astype(dtype), strides,
+                                        pad, dimension_numbers=_conv_dn())
+
+
+def _stem1_im2row_fwd(x, w, dtype):
+    return _stem1_conv_im2row_grads(x, w, dtype), (x, w)
+
+
+def _stem1_im2row_bwd(dtype, res, dy):
+    x, w = res
+    lift, strides, pad = _S2D_CONV_KINDS["stem1_direct"]
+    # data-grad via autodiff (the image is not differentiated in training,
+    # so XLA DCEs this whole branch — same pattern as _s2d_conv_bwd)
+    lifted = lift(w).astype(dtype)
+    _, vjp_x = jax.vjp(
+        lambda xx: jax.lax.conv_general_dilated(
+            xx, lifted, strides, pad, dimension_numbers=_conv_dn()), x)
+    dx = vjp_x(dy)[0]
+
+    # weight grad: dW[ky,kx,c,o] = sum_{b,i,j} xp[b,2i+ky,2j+kx,c]*dy[b,i,j,o]
+    b, h, wd, ci = x.shape
+    ho, wo = dy.shape[1], dy.shape[2]
+    co4 = dy.shape[3]
+    # conv padding is ((1,2),(1,2)); one extra trailing row/col makes the
+    # padded image even for the space-to-depth view (never read)
+    xp = jnp.pad(x, ((0, 0), (1, 3), (1, 3), (0, 0)))
+    t = (h + 4) // 2
+    z = (xp.reshape(b, t, 2, t, 2, ci).transpose(0, 1, 3, 2, 4, 5)
+         .reshape(b, t, t, 4 * ci))       # [b, t, t, (s, sx, c)]
+    # patch lanes ordered (m, n, s, sx, c): row offset ky = 2m+s, col 2n+sx
+    patches = jnp.concatenate(
+        [z[:, m:m + ho, n:n + wo, :] for m in range(2) for n in range(2)],
+        axis=-1)                          # [b, ho, wo, 16*ci]
+    dw_p = jax.lax.dot_general(
+        patches, dy, (((0, 1, 2), (0, 1, 2)), ((), ())),
+        preferred_element_type=jnp.float32)             # [16*ci, 4Co]
+    dw_direct = (dw_p.reshape(2, 2, 2, 2, ci, co4)      # [m,n,s,sx,c,o]
+                 .transpose(0, 2, 1, 3, 4, 5)           # [m,s,n,sx,c,o]
+                 .reshape(4, 4, ci, co4))
+    _, vjp_lift = jax.vjp(_s2d_kernel_stem1_direct, w)
+    dw = vjp_lift(dw_direct.astype(w.dtype))[0]
+    return dx, dw
+
+
+_stem1_conv_im2row_grads.defvjp(_stem1_im2row_fwd, _stem1_im2row_bwd)
+
+
 # --- int8-forward training (straight-through estimator) -------------------
 
 def _ste_quantize_act(x: Array) -> Tuple[Array, Array]:
@@ -527,13 +589,16 @@ def _s2d_conv_block(x: Array, blk: "_StemBlockParams", kind: str,
                     out_tile: int, train: bool, alpha: float,
                     bn_epsilon: float, dtype: Any,
                     base_grads: bool = True,
-                    int8_ste: bool = False) -> Array:
+                    int8_ste: bool = False,
+                    stem1_im2row: bool = False) -> Array:
     """One ConvBlock (conv -> LeakyReLU -> BN) in the blocked domain.
 
     `base_grads` routes the conv through `_s2d_conv`'s custom VJP (weight
     grads computed in base-kernel space); off = plain autodiff through the
     lifted kernel (for A/B and grad-equivalence tests). `int8_ste` runs
     the training forward on the int8 path (`int8_ste_conv`).
+    `stem1_im2row` routes stem1's weight grad through the im2row matmul
+    VJP (`_stem1_conv_im2row_grads`).
     """
     k, b = blk.conv()
     use_vjp = (base_grads is True
@@ -546,6 +611,8 @@ def _s2d_conv_block(x: Array, blk: "_StemBlockParams", kind: str,
         y = int8_ste_conv(x, k, strides, padding, dtype, kind)
     elif use_vjp:
         y = _s2d_conv(x, k, kind, dtype)
+    elif stem1_im2row and kind == "stem1_direct":
+        y = _stem1_conv_im2row_grads(x, k, dtype)
     else:
         lift, strides, padding = _S2D_CONV_KINDS[kind]
         y = jax.lax.conv_general_dilated(x, lift(k).astype(dtype), strides,
@@ -560,7 +627,8 @@ def _s2d_conv_block(x: Array, blk: "_StemBlockParams", kind: str,
 def _s2d_region_apply(x: Array, stem1, stem2, fb1, fb2, exit_conv,
                       train: bool, alpha: float, bn_epsilon: float,
                       dtype: Any, base_grads: bool = True,
-                      int8_ste: bool = False) -> Array:
+                      int8_ste: bool = False,
+                      stem1_im2row: bool = False) -> Array:
     """Exact space-to-depth rewrite of the darknet low-channel region: the
     two stem conv blocks, the first residual feature block, and the stride-2
     conv into the 128-channel stage.
@@ -584,7 +652,7 @@ def _s2d_region_apply(x: Array, stem1, stem2, fb1, fb2, exit_conv,
     # no space_to_depth transpose, and 9x fewer dense inner terms than
     # conv-ing the lifted kernel over the blocked input
     y = _s2d_conv_block(x.astype(dtype), stem1, "stem1_direct", 4,
-                        train, a, e, dt, bg, q)
+                        train, a, e, dt, bg, q, stem1_im2row=stem1_im2row)
     y = _s2d_conv_block(y, stem2, "stride2_stay", 4, train, a, e, dt, bg, q)
     inputs = y
     z = _s2d_conv_block(y, fb1, "pointwise", 4, train, a, e, dt, bg, q)
@@ -651,6 +719,7 @@ class Darknet53(nn.Module):
     kernel: int = KERNEL_SIZE
     s2d_stem: bool = False
     s2d_base_grads: Any = False
+    s2d_stem1_im2row: bool = False
     remat: bool = False
 
     @nn.compact
@@ -675,7 +744,8 @@ class Darknet53(nn.Module):
                                   exit_conv, train, ck["alpha"],
                                   ck["bn_epsilon"], ck["dtype"],
                                   base_grads=self.s2d_base_grads,
-                                  int8_ste=ck.get("int8_ste", False))
+                                  int8_ste=ck.get("int8_ste", False),
+                                  stem1_im2row=self.s2d_stem1_im2row)
         else:
             x = ConvBlock(fc // 32, k, name="ConvBlock_0", **ck)(x, train)
             x = ConvBlock(fc // 16, k, stride=2, name="ConvBlock_1",
@@ -724,6 +794,7 @@ class YoloV3(nn.Module):
             filter_count=cfg.filter_count, kernel=k,
             s2d_stem=cfg.stem_space_to_depth,
             s2d_base_grads=cfg.s2d_base_grads,
+            s2d_stem1_im2row=cfg.stem1_im2row_grads,
             remat=cfg.remat_blocks)(x, train)
         f8 = route_s8.shape[-1]
         f16 = route_s16.shape[-1]

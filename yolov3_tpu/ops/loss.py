@@ -31,6 +31,7 @@ from typing import NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from yolov3_tpu.ops.decode import reorg_feature_map
 
@@ -151,14 +152,135 @@ def loss_layer(feature_map: Array, gt_grid: Array,
     return xy_loss, wh_loss, objectness_loss, class_loss
 
 
+def loss_layer_packed(feature_map: Array, gt_grid: Array,
+                      anchors: Sequence[Tuple[float, float]],
+                      number_classes: int, stride: int,
+                      ) -> Tuple[Array, Array, Array, Array]:
+    """`loss_layer` computed entirely in the packed lane domain.
+
+    Same math and quadruple as `loss_layer`, but every intermediate stays
+    on the feature map's native [B, gh, gw, A*(5+C)] layout — per-lane
+    selected elementwise ops, within-block rolls, and constant [L, L]
+    matmuls for block broadcasts — instead of the 5D
+    [B, gh, gw, A, 5+C] slice/stack tensors. The round-3 train profile
+    attributed ~7-8 ms of the 47 ms bf16 step to dozens of 0.3-0.9 ms
+    fusions over those 5D 7-lane tensors (DESIGN.md round-3 train
+    profile); this formulation is the train-side twin of
+    `ops/decode._decode_fm_packed`.
+
+    Float-op sequence per lane matches `loss_layer` (same clips, guards,
+    CE formula, division order); only reduction order differs, so results
+    agree to float32 reduction tolerance, not bit-exactly.
+    """
+    num_anchors = len(anchors)
+    d = 5 + number_classes
+    lanes = num_anchors * d
+    batch_size = jnp.float32(feature_map.shape[0])
+    n, gh, gw, _ = feature_map.shape
+    f = feature_map.astype(jnp.float32)
+    g = gt_grid.astype(jnp.float32).reshape(n, gh, gw, lanes)
+
+    k = np.arange(lanes)
+    r = k % d
+    is_x, is_y = jnp.asarray(r == 0), jnp.asarray(r == 1)
+    is_xy = jnp.asarray(r < 2)
+    is_wh = jnp.asarray((r >= 2) & (r < 4))
+    is_obj = jnp.asarray(r == 4)
+    is_cls = jnp.asarray(r >= 5)
+
+    # object mask broadcast to every lane of its anchor block: a constant
+    # [L, L] 0/1 matmul (g is the label input — no gradient flows here)
+    bcast = np.zeros((lanes, lanes), np.float32)
+    for i in range(lanes):
+        bcast[(i // d) * d + 4, i] = 1.0
+    om = g @ jnp.asarray(bcast)                      # [n,gh,gw,L]
+
+    # prediction decode on xy/wh lanes (identical fp ops to
+    # reorg_feature_map: (sigmoid+off)*stride, exp*anchor)
+    col = jax.lax.broadcasted_iota(jnp.float32, (gh, gw, 1), 1)
+    row = jax.lax.broadcasted_iota(jnp.float32, (gh, gw, 1), 0)
+    off = jnp.where(is_x, col, jnp.where(is_y, row, 0.0))
+    anchor_plane = np.ones(lanes, np.float32)
+    for a, (aw, ah) in enumerate(anchors):
+        anchor_plane[a * d + 2] = aw
+        anchor_plane[a * d + 3] = ah
+    anchor_plane = jnp.asarray(anchor_plane)
+    s = jax.nn.sigmoid(f)
+    # exp only where consumed: raw exp on obj/class lanes can overflow to
+    # inf, and 0*inf in the where-VJP would poison the gradient
+    e = jnp.exp(jnp.where(is_wh, f, 0.0))
+    dec = jnp.where(is_xy, (s + off) * float(stride),
+                    jnp.where(is_wh, e * anchor_plane, 0.0))
+
+    # ---- objectness ignore mask: best IoU vs batch-present anchor priors
+    present = jnp.max(g * is_obj.astype(jnp.float32), axis=(0, 1, 2))  # [L]
+    half = 0.5 * jnp.roll(dec, -2, axis=-1)          # xy lanes see wh/2
+    pmin, pmax = dec - half, dec + half              # corners on xy lanes
+    # pred area on x lanes (x sees w via -2, h via -3)
+    pa = jnp.roll(dec, -2, axis=-1) * jnp.roll(dec, -3, axis=-1)
+    neg_inf = jnp.float32(-jnp.inf)
+    best_iou = jnp.full_like(f, neg_inf)
+    for a, (aw, ah) in enumerate(anchors):
+        prior_half = jnp.where(is_x, 0.5 * float(aw),
+                               jnp.where(is_y, 0.5 * float(ah), 0.0))
+        imin = jnp.maximum(pmin, -prior_half)
+        imax = jnp.minimum(pmax, prior_half)
+        iwh = jnp.maximum(imax - imin, 0.0)
+        inter = iwh * jnp.roll(iwh, -1, axis=-1)     # x lanes: inter area
+        iou = inter / (pa + float(aw) * float(ah) - inter)
+        iou = jnp.where(present[a * d + 4] > 0, iou, neg_inf)
+        best_iou = jnp.maximum(best_iou, iou)
+    # move best IoU from each block's x lane onto its obj lane
+    ignore = (jnp.roll(best_iou, 4, axis=-1)
+              < IGNORE_IOU_THRESHOLD).astype(jnp.float32)
+
+    valid = jax.lax.stop_gradient(om + (1.0 - om) * ignore)
+    ce = _sigmoid_ce(jax.lax.stop_gradient(g), f)    # obj + class lanes
+
+    # ---- xy (logit-space MSE), identical clip/inversion sequence
+    true_xy = jnp.clip(g / float(stride) - off, XY_CLIP, 1.0 - XY_CLIP)
+    pred_xy = jnp.clip(dec / float(stride) - off, XY_CLIP, 1.0 - XY_CLIP)
+    xy_sq = jnp.square(jax.lax.stop_gradient(_inverse_sigmoid(true_xy))
+                       - _inverse_sigmoid(pred_xy))
+
+    # ---- wh (log-space MSE) with the zeros->ones guard
+    true_twh = g / anchor_plane
+    pred_twh = dec / anchor_plane
+    true_twh = jnp.where(true_twh == 0.0, 1.0, true_twh)
+    pred_twh = jnp.where(pred_twh == 0.0, 1.0, pred_twh)
+    true_twh = jnp.log(jnp.clip(true_twh, WH_LOG_CLIP_MIN, WH_LOG_CLIP_MAX))
+    pred_twh = jnp.log(jnp.clip(pred_twh, WH_LOG_CLIP_MIN, WH_LOG_CLIP_MAX))
+    wh_sq = jnp.square(jax.lax.stop_gradient(true_twh) - pred_twh)
+
+    # per-lane contributions, then one matmul-reduce into the 4 components
+    contrib = jnp.where(is_xy, om * xy_sq,
+                        jnp.where(is_wh, om * wh_sq,
+                                  jnp.where(is_obj, valid * ce,
+                                            jnp.where(is_cls, om * ce,
+                                                      0.0))))
+    comp = np.zeros((lanes, 4), np.float32)          # xy, wh, obj, class
+    comp[r < 2, 0] = 1.0
+    comp[(r >= 2) & (r < 4), 1] = 1.0
+    comp[r == 4, 2] = 1.0
+    comp[r >= 5, 3] = 1.0
+    sums = jnp.einsum("bhwl,lc->c", contrib, jnp.asarray(comp)) / batch_size
+    return sums[0], sums[1], sums[2], sums[3]
+
+
 def compute_loss(feature_maps: Sequence[Array], gt_grids: Sequence[Array],
                  anchors: Sequence[Tuple[float, float]],
                  number_classes: int,
-                 strides: Sequence[int] = (32, 16, 8)) -> YoloLoss:
-    """Sum the four components over all scales (reference/model.py:214-228)."""
+                 strides: Sequence[int] = (32, 16, 8),
+                 packed: bool = False) -> YoloLoss:
+    """Sum the four components over all scales (reference/model.py:214-228).
+
+    `packed` selects the lane-domain implementation (`loss_layer_packed`) —
+    same math on the feature map's native layout, float32-reduction-level
+    agreement with the 5D formulation."""
+    layer = loss_layer_packed if packed else loss_layer
     loss_xy = loss_wh = loss_obj = loss_class = jnp.float32(0.0)
     for fm, gt, stride in zip(feature_maps, gt_grids, strides):
-        xy, wh, obj, cls = loss_layer(fm, gt, anchors, number_classes, stride)
+        xy, wh, obj, cls = layer(fm, gt, anchors, number_classes, stride)
         loss_xy = loss_xy + xy
         loss_wh = loss_wh + wh
         loss_obj = loss_obj + obj

@@ -82,7 +82,7 @@ def _loss_and_metrics(model: YoloV3, cfg: ModelConfig, tcfg: TrainConfig,
         new_batch_stats = batch_stats
 
     yolo_loss = compute_loss(fms, labels, cfg.anchors, cfg.number_classes,
-                             cfg.strides)
+                             cfg.strides, packed=tcfg.packed_loss)
     loss = yolo_loss.total / float(global_batch_size)
     if tcfg.apply_weight_decay:
         loss = loss + l2_regularization(params, tcfg.weight_decay)
