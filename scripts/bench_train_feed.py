@@ -12,6 +12,9 @@ synthetic-batch number):
 - device:    raw-mode workers only decode; augmentation + z-score +
              label encoding run jitted on-chip (train.py
              --device_augment 1), dispatch overlapped by DevicePrefetcher
+- device_shm: like device, but workers assemble whole uint8 batches in a
+             shared-memory ring (ShmBatchReader) — no per-image pickling
+             through mp.Queue
 
   python scripts/make_toy_dataset.py --output /tmp/feed512 \
       --num_images 128 --image_size 512
@@ -34,7 +37,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def run_mode(mode, args, jax, jnp, np):
     from yolov3_tpu.config import AugmentConfig, ModelConfig, TrainConfig
-    from yolov3_tpu.data.reader import DatasetReader
+    from yolov3_tpu.data.reader import DatasetReader, ShmBatchReader
     from yolov3_tpu.parallel import (create_train_state, make_mesh,
                                      make_train_step, replicate_to_mesh,
                                      shard_batch)
@@ -45,9 +48,14 @@ def run_mode(mode, args, jax, jnp, np):
     tb = args.batch
     tcfg = TrainConfig(batch_size=tb)
 
-    reader = DatasetReader(args.db, anchors, use_augmentation=True,
-                           num_workers=args.workers,
-                           raw_mode=(mode == "device"))
+    if mode == "device_shm":
+        reader = ShmBatchReader(args.db, anchors, batch_size=args.batch,
+                                use_augmentation=True,
+                                num_workers=args.workers)
+    else:
+        reader = DatasetReader(args.db, anchors, use_augmentation=True,
+                               num_workers=args.workers,
+                               raw_mode=(mode == "device"))
     img_size = reader.get_image_size()
     ncls = reader.get_number_classes()
     cfg = ModelConfig(img_size=tuple(img_size), number_classes=ncls,
@@ -75,7 +83,7 @@ def run_mode(mode, args, jax, jnp, np):
         else:
             reader.startup()
             raw = reader.batches(tb)
-            if mode == "device":
+            if mode in ("device", "device_shm"):
                 from yolov3_tpu.data.device_pipeline import preprocess_batch
                 base_key = jax.random.PRNGKey(1)
                 acfg = AugmentConfig()
@@ -86,10 +94,15 @@ def run_mode(mode, args, jax, jnp, np):
                         images, boxes, valid = shard_batch(r, mesh)
                         counter[0] += 1
                         key = jax.random.fold_in(base_key, counter[0])
-                        yield preprocess_batch(
+                        out = preprocess_batch(
                             images, boxes, valid, key, acfg,
                             tuple(img_size), anchors, ncls,
                             use_augmentation=True)
+                        if mode == "device_shm":
+                            # ring slots recycle on the next next(raw);
+                            # settle so device_put has consumed the pixels
+                            out = jax.block_until_ready(out)
+                        yield out
 
                 batches = DevicePrefetcher(feed(), lambda b: b)
             else:
@@ -120,7 +133,8 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--workers", type=int, default=4)
-    parser.add_argument("--modes", type=str, default="synthetic,host,device")
+    parser.add_argument("--modes", type=str,
+                        default="synthetic,host,device,device_shm")
     args = parser.parse_args(argv)
 
     import jax

@@ -150,6 +150,28 @@ class TestEncodeLabels:
         host = encode_boxes(boxes, (64, 64, 1), ANCHORS, 2)
         np.testing.assert_allclose(host[0], np.asarray(dev[0]), atol=1e-5)
 
+    def test_later_box_overwrites_coordinates(self):
+        """Two valid boxes landing in the same (cell, anchor) slot: the
+        LATER box's coordinate row must win (the matmul encoder's priority
+        argmax must reproduce the sequential write order), while obj stays
+        set and both class bits accumulate."""
+        boxes = np.array([[0, 0, 30, 30, 0], [2, 2, 30, 30, 1]],
+                         dtype=np.float32)
+        padded, valid = pad_boxes(boxes)
+        dev = encode_labels_device(jnp.asarray(padded), jnp.asarray(valid),
+                                   (64, 64, 1), ANCHORS, 2)
+        host = encode_boxes(boxes, (64, 64, 1), ANCHORS, 2)
+        for h, d in zip(host, dev):
+            np.testing.assert_allclose(h, np.asarray(d), atol=1e-5)
+        # sanity: the shared slot's coords really are the second box's
+        g = np.asarray(dev[2])  # stride-8 grid: both centers in cell (2,2)?
+        cy2 = np.floor(2 + (30 - 1) / 2.0)
+        i2 = int(cy2 // 8)
+        slot = g[i2, i2]
+        hit = slot[slot[..., 4] > 0]
+        assert hit.shape[0] >= 1
+        np.testing.assert_allclose(hit[0, 0], cy2)  # later box's center
+
 
 class TestPreprocessBatch:
     def test_shapes_and_finiteness(self, rng):

@@ -199,3 +199,110 @@ class TestMultiHostShard:
         with r:
             img, l32, _, _ = r.get_example()
         assert np.isfinite(img).all()
+
+
+class TestBatchRing:
+    def test_round_trip_and_slot_isolation(self):
+        from yolov3_tpu.data.shm_ring import BatchRing
+        ring = BatchRing(batch=3, image_shape=(8, 8, 1),
+                         image_dtype=np.uint8, max_boxes=4, num_slots=2)
+        try:
+            a_img, a_box, a_val = ring.views(0)
+            b_img, b_box, b_val = ring.views(1)
+            a_img[:] = 7
+            a_box[:] = 1.5
+            a_val[:] = True
+            b_img[:] = 9
+            assert (a_img == 7).all() and (b_img == 9).all()
+            # a second attach (what a worker does) sees the same bytes
+            other = BatchRing.attach(ring.spec())
+            try:
+                o_img, o_box, o_val = other.views(0)
+                assert (o_img == 7).all()
+                assert (o_box == 1.5).all() and o_val.all()
+                o_img[0, 0, 0, 0] = 42
+                assert a_img[0, 0, 0, 0] == 42
+            finally:
+                other.close()
+        finally:
+            ring.close(unlink=True)
+
+    def test_unlink_removes_file(self):
+        import os
+
+        from yolov3_tpu.data.shm_ring import BatchRing
+        ring = BatchRing(batch=1, image_shape=(4, 4, 1),
+                         image_dtype=np.uint8, max_boxes=2, num_slots=1)
+        path = ring.path
+        assert os.path.exists(path)
+        ring.close(unlink=True)
+        assert not os.path.exists(path)
+        ring.close(unlink=True)  # idempotent
+
+    def test_bad_slot_raises(self):
+        from yolov3_tpu.data.shm_ring import BatchRing
+        ring = BatchRing(batch=1, image_shape=(4, 4, 1),
+                         image_dtype=np.uint8, max_boxes=2, num_slots=1)
+        try:
+            with pytest.raises(IndexError):
+                ring.views(1)
+        finally:
+            ring.close(unlink=True)
+
+
+class TestShmBatchReader:
+    def test_batches_match_database_records(self, tmp_path, rng):
+        """Every image in a shm batch must be byte-identical to a database
+        record, with its boxes/valid mask padded the same way the queue
+        transport pads them."""
+        from yolov3_tpu.data.encoder import pad_boxes
+        from yolov3_tpu.data.reader import ShmBatchReader
+        from yolov3_tpu.data.store import open_reader
+        build_toy_db(tmp_path / "db", rng, n=6, img_hw=(16, 16))
+
+        store = open_reader(str(tmp_path / "db"))
+        by_bytes = {}
+        for k in store.keys():
+            img, boxes = records.decode_record(store.get(k))
+            padded, val = pad_boxes(boxes.astype(np.float32))
+            by_bytes[img.tobytes()] = (padded, val)
+        store.close()
+
+        r = ShmBatchReader(str(tmp_path / "db"), ANCHORS, batch_size=4,
+                           num_workers=2)
+        with r:
+            it = r.batches()
+            for _ in range(3):  # > num_slots batches proves recycling
+                imgs, boxes, valid = next(it)
+                assert imgs.shape == (4, 16, 16, 1)
+                assert imgs.dtype == np.uint8
+                assert boxes.shape[0] == 4 and valid.shape[0] == 4
+                for i in range(4):
+                    key = imgs[i].tobytes()
+                    assert key in by_bytes, "image not from the database"
+                    want_boxes, want_valid = by_bytes[key]
+                    np.testing.assert_array_equal(boxes[i], want_boxes)
+                    np.testing.assert_array_equal(valid[i], want_valid)
+
+    def test_shutdown_unlinks_ring(self, tmp_path, rng):
+        import os
+
+        from yolov3_tpu.data.reader import ShmBatchReader
+        build_toy_db(tmp_path / "db", rng, n=4, img_hw=(16, 16))
+        r = ShmBatchReader(str(tmp_path / "db"), ANCHORS, batch_size=2,
+                           num_workers=1)
+        path = r._ring.path
+        r.startup()
+        next(r.batches())
+        r.shutdown()
+        assert not os.path.exists(path)
+        r.shutdown()  # idempotent
+
+    def test_wrong_batch_size_raises(self, tmp_path, rng):
+        from yolov3_tpu.data.reader import ShmBatchReader
+        build_toy_db(tmp_path / "db", rng, n=4, img_hw=(16, 16))
+        r = ShmBatchReader(str(tmp_path / "db"), ANCHORS, batch_size=2,
+                           num_workers=1)
+        with pytest.raises(ValueError, match="sized for batch"):
+            next(r.batches(3))
+        r._ring.close(unlink=True)

@@ -46,7 +46,7 @@ from yolov3_tpu.config import (
     ModelConfig,
     TrainConfig,
 )
-from yolov3_tpu.data.reader import DatasetReader
+from yolov3_tpu.data.reader import DatasetReader, ShmBatchReader
 from yolov3_tpu.models.yolo import YoloV3
 from yolov3_tpu.parallel import (
     create_train_state,
@@ -74,6 +74,7 @@ def train_model(batch_size: int, test_every_n_steps: int,
                 augment_config: Optional[AugmentConfig] = None,
                 model_overrides: Optional[dict] = None,
                 device_augment: bool = False,
+                shm_feed: bool = False,
                 resume: bool = False) -> Optional[str]:
     """Run the full training loop; returns the export path (or None)."""
     os.makedirs(output_folder, exist_ok=True)
@@ -97,20 +98,41 @@ def train_model(batch_size: int, test_every_n_steps: int,
           f"global batch {global_batch_size}, readers {reader_count}, "
           f"host shard {shard[0]}/{shard[1]}")
 
+    # optional shared-memory ring transport for device_augment's raw
+    # batches (data/shm_ring.py): whole uint8 batches assembled in place
+    # by the workers, zero per-image pickling through mp.Queue (~3x the
+    # reader-side throughput; opt-in, see DESIGN.md round-3 feed ledger)
+    use_shm = bool(device_augment and shm_feed)
+
     print("Setting up test image reader")
-    test_reader = DatasetReader(test_database_filepath, anchors,
-                                use_augmentation=False, shuffle=False,
-                                num_workers=reader_count,
-                                raw_mode=device_augment, shard=shard)
+    if use_shm:
+        test_reader = ShmBatchReader(test_database_filepath, anchors,
+                                     batch_size=global_batch_size,
+                                     use_augmentation=False, shuffle=False,
+                                     num_workers=reader_count, shard=shard)
+    else:
+        test_reader = DatasetReader(test_database_filepath, anchors,
+                                    use_augmentation=False, shuffle=False,
+                                    num_workers=reader_count,
+                                    raw_mode=device_augment, shard=shard)
     print(f"Test Reader has {test_reader.get_image_count()} images")
 
     print("Setting up training image reader")
-    train_reader = DatasetReader(train_database_filepath, anchors,
-                                 use_augmentation=bool(use_augmentation),
-                                 shuffle=True, balance_classes=True,
-                                 num_workers=reader_count,
-                                 augment_config=augment_config,
-                                 raw_mode=device_augment, shard=shard)
+    if use_shm:
+        train_reader = ShmBatchReader(train_database_filepath, anchors,
+                                      batch_size=global_batch_size,
+                                      use_augmentation=bool(use_augmentation),
+                                      shuffle=True, balance_classes=True,
+                                      num_workers=reader_count,
+                                      augment_config=augment_config,
+                                      shard=shard)
+    else:
+        train_reader = DatasetReader(train_database_filepath, anchors,
+                                     use_augmentation=bool(use_augmentation),
+                                     shuffle=True, balance_classes=True,
+                                     num_workers=reader_count,
+                                     augment_config=augment_config,
+                                     raw_mode=device_augment, shard=shard)
     print(f"Train Reader has {train_reader.get_image_count()} images")
 
     export_path = None
@@ -171,10 +193,18 @@ def train_model(batch_size: int, test_every_n_steps: int,
                     images, boxes, valid = shard_batch(raw, mesh)
                     counter[0] += 1
                     key = jax.random.fold_in(base_key, counter[0])
-                    yield preprocess_batch(
+                    out = preprocess_batch(
                         images, boxes, valid, key, acfg,
                         tuple(img_size), tuple(cfg.anchors), number_classes,
                         use_augmentation=augment_flag)
+                    if use_shm:
+                        # the raw views alias ring slots that recycle on
+                        # the next next(raw_iter); settle the preprocess
+                        # (which implies the device_put consumed the
+                        # pixels) before advancing. Runs in the prefetch
+                        # thread, overlapped with the train step.
+                        out = jax.block_until_ready(out)
+                    yield out
 
             # run the shard_batch device_put + preprocess dispatch in a
             # background thread too, so the host->device RTT overlaps the
@@ -341,6 +371,14 @@ def main(argv=None) -> None:
                         help="run augmentation + label encoding on the TPU "
                              "(jit) instead of in host worker processes "
                              "[0=false, 1=true]")
+    parser.add_argument("--shm_feed", type=int, default=0,
+                        help="with --device_augment: move raw batches "
+                             "through a shared-memory ring instead of "
+                             "pickling per-image through queues — ~3x "
+                             "less host CPU per image, but adds a "
+                             "per-batch device sync (slot-recycle "
+                             "safety) that loses on a host with very "
+                             "few cores; see DESIGN.md [0=false, 1=true]")
     parser.add_argument("--resume", action="store_true",
                         help="resume from an existing checkpoint in "
                              "--output_dir (the reference cannot resume)")
@@ -365,6 +403,7 @@ def main(argv=None) -> None:
                 compute_dtype=args.compute_dtype,
                 profile_dir=args.profile_dir,
                 device_augment=bool(args.device_augment),
+                shm_feed=bool(args.shm_feed),
                 resume=args.resume,
                 model_overrides=({"int8_train": True} if args.int8_train
                                  else None))
