@@ -132,16 +132,23 @@ def batched_nms_device(detections: Array, num_classes: int,
     b = boxes.shape[0]
     k = min(max_boxes, boxes.shape[1])
 
-    def gather_image(img_boxes, img_scores):
-        def gather(scores):
-            masked = jnp.where(scores >= score_threshold, scores, -1.0)
-            top_scores, top_idx = jax.lax.top_k(masked, k)
-            return (img_boxes[top_idx], top_scores,
-                    top_scores >= score_threshold)
-        return jax.vmap(gather, in_axes=1, out_axes=0)(img_scores)
-
-    scores_all = jnp.sqrt(class_probs * objectness)  # [B, N, C]
-    cand, top_scores, valid = jax.vmap(gather_image)(boxes, scores_all)
+    # top_k over a FOLDED [B*C, N] operand: sorting [B, C, N] puts C=2 on
+    # the sublane dim (tiling T(2,128) — 2 of 8 sublanes live) and the
+    # sort measured 4.16 ms in the serving graph; the same sort folded to
+    # [B*C, N] tiles T(8,128) and costs ~1.3 ms (DESIGN.md round-3
+    # serving NMS note). The fold is a bitcast on the contiguous
+    # transposed scores.
+    c = class_probs.shape[-1]
+    scores_all = jnp.sqrt(jnp.transpose(class_probs, (0, 2, 1))
+                          * objectness[..., 0][:, None, :])  # [B, C, N]
+    flat = scores_all.reshape(b * c, -1)                     # [B*C, N]
+    masked = jnp.where(flat >= score_threshold, flat, -1.0)
+    top_scores, top_idx = jax.lax.top_k(masked, k)           # [B*C, K]
+    top_scores = top_scores.reshape(b, c, k)
+    top_idx = top_idx.reshape(b, c, k)
+    cand = jax.vmap(jax.vmap(lambda bx, i: bx[i], in_axes=(None, 0)))(
+        boxes, top_idx)                                      # [B, C, K, 4]
+    valid = top_scores >= score_threshold
 
     if use_pallas:
         # all batch x class problems in one launch; IoU computed in-kernel
