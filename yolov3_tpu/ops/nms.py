@@ -146,6 +146,10 @@ def batched_nms_device(detections: Array, num_classes: int,
     top_scores, top_idx = jax.lax.top_k(masked, k)           # [B*C, K]
     top_scores = top_scores.reshape(b, c, k)
     top_idx = top_idx.reshape(b, c, k)
+    # row gather, NOT take_along_axis over a transposed [B, 4, N] view:
+    # the transposed variant looked lane-friendlier on paper but XLA
+    # lowered it to a flat scalarized gather (3.1 ms vs this form's 0.45
+    # measured in the serving graph)
     cand = jax.vmap(jax.vmap(lambda bx, i: bx[i], in_axes=(None, 0)))(
         boxes, top_idx)                                      # [B, C, K, 4]
     valid = top_scores >= score_threshold
