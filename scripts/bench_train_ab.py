@@ -48,7 +48,7 @@ def main(argv=None):
     mesh = make_mesh(n_devices=1)
 
     variants = (("bf16", {}),
-                ("unpacked_loss", {"_tcfg": {"packed_loss": False}}),
+                ("packed_loss", {"_tcfg": {"packed_loss": True}}),
                 ("stem1_im2row", {"stem1_im2row_grads": True}),
                 ("int8_ste", {"int8_train": True}),
                 ("base_grads", {"s2d_base_grads": True}),

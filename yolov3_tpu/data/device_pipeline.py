@@ -234,8 +234,15 @@ def encode_labels_device(boxes: Array, valid: Array,
     for div in (32, 16, 8):
         gh, gw = int(image_size[0]) // div, int(image_size[1]) // div
         g_slots = gh * gw * num_anchors
-        i = jnp.floor(centers[:, 1] / img_h * gh).astype(jnp.int32)
-        j = jnp.floor(centers[:, 0] / img_w * gw).astype(jnp.int32)
+        # clamp to the grid like the previous fori_loop encoder did (its
+        # dynamic_update_slice writes clamped start indices); without this
+        # an out-of-grid center's one-hot row is all-zero and the box is
+        # silently dropped — unreachable via the normal pipeline (augment
+        # clamps boxes to image bounds) but kept for direct callers
+        i = jnp.clip(jnp.floor(centers[:, 1] / img_h * gh).astype(jnp.int32),
+                     0, gh - 1)
+        j = jnp.clip(jnp.floor(centers[:, 0] / img_w * gw).astype(jnp.int32),
+                     0, gw - 1)
         q = (i * gw + j) * num_anchors + best_anchor.astype(jnp.int32)
 
         slot_iota = jax.lax.broadcasted_iota(jnp.int32, (m, g_slots), 1)
