@@ -68,12 +68,12 @@ def main(argv=None):
 
     def make_int8(skip, requant_residual=True, pointwise_pallas=False,
                   exit_pallas=False, head_decode=False, down_pallas=False,
-                  conv3_pallas=False, head_pad=False):
+                  conv3_pallas=False, head_pad=False, region_pallas=False):
         kw = dict(act_scales=scales, quant_skip=skip,
                   requant_residual=requant_residual,
                   pointwise_pallas=pointwise_pallas,
                   exit_pallas=exit_pallas, down_pallas=down_pallas,
-                  conv3_pallas=conv3_pallas)
+                  conv3_pallas=conv3_pallas, region_pallas=region_pallas)
 
         @jax.jit
         def f(images):
@@ -142,6 +142,10 @@ def main(argv=None):
                                         exit_pallas=True))
     bench("int8_headpad", make_int8(("Darknet53_0/ConvBlock_0",),
                                     exit_pallas=True, head_pad=True))
+    # whole-tail S2D region kernel (pw+3x3+residual+exit in one pass;
+    # subsumes the exit kernel, so exit_pallas is irrelevant here)
+    bench("int8_region", make_int8(("Darknet53_0/ConvBlock_0",),
+                                   region_pallas=True))
     bench("int8_fused_fb4", make_fused(("Darknet53_0/FeatureBlock_4",)))
     bench("int8_headdec", make_int8(("Darknet53_0/ConvBlock_0",),
                                     exit_pallas=True, head_decode=True))
@@ -171,6 +175,8 @@ def main(argv=None):
                    "int8_skip_stem1": make_int8(("Darknet53_0/ConvBlock_0",)),
                    "int8_exit_pallas": make_int8(
                        ("Darknet53_0/ConvBlock_0",), exit_pallas=True),
+                   "int8_region": make_int8(
+                       ("Darknet53_0/ConvBlock_0",), region_pallas=True),
                    "int8_headpad": make_int8(
                        ("Darknet53_0/ConvBlock_0",), exit_pallas=True,
                        head_pad=True),

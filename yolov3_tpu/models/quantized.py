@@ -118,12 +118,14 @@ class _Ctx:
                  exit_pallas: bool = False,
                  down_pallas: bool = False,
                  conv3_pallas: bool = False,
+                 region_pallas: bool = False,
                  head_pad: bool = False):
         self.cfg = cfg
         self.act_scales = act_scales
         self.collect = collect
         self.exit_pallas = exit_pallas
         self.down_pallas = down_pallas
+        self.region_pallas = region_pallas
         self.dtype = cfg.dtype
         self.quant_skip = frozenset(quant_skip)
         self.fused_blocks = fused_blocks
@@ -683,6 +685,83 @@ def _yolo_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
     return route, x
 
 
+def _region_tail_eligible(ctx: _Ctx, p: dict, conv_in: Array) -> bool:
+    """The S2D tail kernel needs all four of its conv blocks int8-
+    calibrated (it consumes FeatureBlock_0's pre-quantized s8 entry and
+    emits FeatureBlock_1's), and the band plan within its VMEM budget."""
+    from yolov3_tpu.ops.pallas.s2d_tail_kernel import vmem_fits
+
+    d = "Darknet53_0"
+    names = (f"{d}/FeatureBlock_0/ConvBlock_0",
+             f"{d}/FeatureBlock_0/ConvBlock_1", f"{d}/ConvBlock_2",
+             f"{d}/FeatureBlock_1/ConvBlock_0")
+    if not (ctx.int8 and ctx.requant_residual):
+        return False
+    if any(nm in ctx.quant_skip or nm not in ctx.act_scales
+           for nm in names):
+        return False
+    n, h, w, c = conv_in.shape
+    cm = 4 * p[d]["FeatureBlock_0"]["ConvBlock_0"]["Conv_0"][
+        "kernel"].shape[3]
+    co = p[d]["ConvBlock_2"]["Conv_0"]["kernel"].shape[3]
+    return vmem_fits(h, w, n, c, cm, co)
+
+
+def _s2d_tail(ctx: _Ctx, p: dict, bs: dict, conv_in: Array) -> Array:
+    """Pack the tail's lifted kernels + folded epilogues and run the fused
+    band pipeline. conv_in: the pre-quantized s8 stem2 output (scale s2 =
+    FeatureBlock_0/ConvBlock_0's activation scale)."""
+    from yolov3_tpu.ops.pallas.s2d_tail_kernel import s2d_tail_block_q
+
+    d = "Darknet53_0"
+    fb = f"{d}/FeatureBlock_0"
+    pfb, bfb = p[d]["FeatureBlock_0"], bs[d]["FeatureBlock_0"]
+    kf1 = Y._s2d_kernel_1x1(pfb["ConvBlock_0"]["Conv_0"]["kernel"])
+    kf2 = Y._s2d_kernel_stride1(pfb["ConvBlock_1"]["Conv_0"]["kernel"])
+    k3 = Y._s2d_kernel_stride2_exit(p[d]["ConvBlock_2"]["Conv_0"]["kernel"])
+    c, cm, co = kf1.shape[2], kf1.shape[3], k3.shape[3]
+    s2 = jnp.float32(ctx.act_scales[f"{fb}/ConvBlock_0"])
+    s3 = jnp.float32(ctx.act_scales[f"{fb}/ConvBlock_1"])
+    s4 = jnp.float32(ctx.act_scales[f"{d}/ConvBlock_2"])
+    s5 = jnp.float32(ctx.act_scales[f"{d}/FeatureBlock_1/ConvBlock_0"])
+
+    def stage(pp, bb, ww, sx, tile):
+        wq, sw = _quantize_weight(ww)
+        dq = sx * sw
+        mul, add = _bn_affine(ctx.cfg, pp, bb)
+        b = pp["Conv_0"]["bias"].astype(jnp.float32)
+        if tile > 1:
+            b, mul, add = (jnp.tile(v, tile) for v in (b, mul, add))
+        return wq, b / dq, mul * dq, add
+
+    wq1, b1, m1, a1 = stage(pfb["ConvBlock_0"], bfb["ConvBlock_0"],
+                            kf1, s2, 4)
+    wq2, b2, m2, a2 = stage(pfb["ConvBlock_1"], bfb["ConvBlock_1"],
+                            kf2, s3, 4)
+    wq3, b3, m3, a3 = stage(p[d]["ConvBlock_2"], bs[d]["ConvBlock_2"],
+                            k3, s4, 1)
+
+    def pad(v):
+        return jnp.zeros((c,), jnp.float32).at[:v.shape[0]].set(v)
+
+    epi = jnp.stack([
+        pad(b1), pad(m1), pad(a1), pad(jnp.full((cm,), 1.0 / s3)),
+        pad(b2), pad(m2), pad(a2), jnp.full((c,), s2),
+        jnp.full((c,), 1.0 / s4),
+        pad(b3), pad(m3), pad(a3), pad(jnp.full((co,), 1.0 / s5)),
+    ])
+    with jax.named_scope(f"{d}/s2d_tail_pallas"):
+        # barrier-pinned boundaries, same rationale as the exit kernel
+        xb = jax.lax.optimization_barrier(conv_in)
+        out = s2d_tail_block_q(
+            xb, wq1.reshape(c, cm), wq2.reshape(9, cm, c),
+            wq3.reshape(4, c, co), epi,
+            alpha=ctx.cfg.leaky_relu_alpha,
+            cast_bf16=(ctx.dtype == jnp.bfloat16),
+            interpret=ctx.fused_interpret)
+        return jax.lax.optimization_barrier(out)
+
+
 def _s2d_region(ctx: _Ctx, p: dict, bs: dict, x: Array) -> Array:
     """Mirror of `_s2d_region_apply` (inference path) in any mode."""
     d = "Darknet53_0"
@@ -698,6 +777,13 @@ def _s2d_region(ctx: _Ctx, p: dict, bs: dict, x: Array) -> Array:
                     kernel_override=k2, out_tile=4)
     fb = f"{d}/FeatureBlock_0"
     conv_in, inputs = ctx.block_input(f"{fb}/ConvBlock_0", y)
+    if (ctx.region_pallas and conv_in.dtype == jnp.int8
+            and _region_tail_eligible(ctx, p, conv_in)):
+        # pw -> FB0 3x3 -> residual -> exit as ONE VMEM-resident Pallas
+        # band pipeline (ops/pallas/s2d_tail_kernel.py): the stage
+        # boundaries' ~2 GB/step of s8 HBM traffic at b64 never leaves
+        # VMEM; emits FeatureBlock_1's pre-quantized s8 input directly
+        return _s2d_tail(ctx, p, bs, conv_in)
     kf1 = Y._s2d_kernel_1x1(
         p[d]["FeatureBlock_0"]["ConvBlock_0"]["Conv_0"]["kernel"])
     if ctx.pw_eligible(f"{fb}/ConvBlock_0", f"{fb}/ConvBlock_1", kf1):
@@ -802,6 +888,7 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                          exit_pallas: bool = False,
                          down_pallas: bool = False,
                          conv3_pallas: bool = False,
+                         region_pallas: bool = False,
                          ) -> Tuple[Array, Array, Array]:
     """Inference feature maps, mirroring `YoloV3.apply(..., train=False)`.
 
@@ -818,7 +905,7 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                requant_residual=requant_residual,
                pointwise_pallas=pointwise_pallas,
                exit_pallas=exit_pallas, down_pallas=down_pallas,
-               conv3_pallas=conv3_pallas)
+               conv3_pallas=conv3_pallas, region_pallas=region_pallas)
     return tuple(_apply_head(ctx, params, nm, h)
                  for nm, h in _forward_necks(ctx, params, batch_stats, x))
 
@@ -1002,6 +1089,27 @@ def calibrate(params: dict, batch_stats: dict, cfg: ModelConfig,
 
     vals = jax.device_get(run(jnp.asarray(images)))
     return {k: max(float(v), 1e-12) / 127.0 for k, v in vals.items()}
+
+
+def scales_to_collection(scales: Dict[str, float], template) -> Any:
+    """Map `calibrate`'s {block path: scale} dict onto a `quant_scales`
+    flax collection tree (static-QAT, ModelConfig.int8_train_static).
+
+    `template` is the collection as produced by `model.init` — leaves are
+    `.../act_scale` scalars whose joined module path keys into `scales`.
+    Raises KeyError if a declared scale has no calibrated value (a
+    topology/naming drift, better loud than silently training on 1.0)."""
+
+    def to_leaf(path, leaf):
+        names = [p.key for p in path if getattr(p, "key", None) is not None]
+        assert names[-1] == "act_scale", names
+        key = "/".join(names[:-1])
+        if key not in scales:
+            raise KeyError(f"no calibrated scale for {key}; have "
+                           f"{sorted(scales)[:8]}...")
+        return jnp.asarray(scales[key], jnp.float32)
+
+    return jax.tree_util.tree_map_with_path(to_leaf, template)
 
 
 def default_serving_kernels() -> Dict[str, bool]:
