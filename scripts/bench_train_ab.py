@@ -51,6 +51,8 @@ def main(argv=None):
                 ("packed_loss", {"_tcfg": {"packed_loss": True}}),
                 ("stem1_im2row", {"stem1_im2row_grads": True}),
                 ("int8_ste", {"int8_train": True}),
+                ("int8_static", {"int8_train": True,
+                                 "int8_train_static": True}),
                 ("base_grads", {"s2d_base_grads": True}),
                 ("bg_stem1", {"s2d_base_grads": ("stem1_direct",)}),
                 ("bg_stem2", {"s2d_base_grads": ("stride2_stay",)}),
@@ -78,6 +80,14 @@ def main(argv=None):
              np.stack([labels[0]] * tb), np.stack([labels[1]] * tb),
              np.stack([labels[2]] * tb)), mesh)
         lr = jnp.float32(1e-4)
+
+        if state.quant_scales is not None:
+            # static QAT: freeze calibration scales before stepping
+            from yolov3_tpu.models import quantized as Q
+            scales = Q.calibrate(state.params, state.batch_stats, cfg,
+                                 tbatch[0])
+            state = state.replace(quant_scales=Q.scales_to_collection(
+                scales, state.quant_scales))
 
         print(f"[{label}] compiling...", flush=True)
         state, _ = step(state, tbatch, lr)

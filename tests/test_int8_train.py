@@ -13,7 +13,8 @@ import numpy as np
 import pytest
 
 from yolov3_tpu.config import ModelConfig, TrainConfig
-from yolov3_tpu.models.yolo import YoloV3, int8_ste_conv
+from yolov3_tpu.models.yolo import (YoloV3, int8_ste_conv,
+                                    int8_ste_conv_static)
 from yolov3_tpu.parallel import (create_train_state, make_mesh,
                                  make_train_step, replicate_to_mesh,
                                  shard_batch)
@@ -112,6 +113,100 @@ class TestQatModel:
         out_q = qat.apply(v, x, train=False)
         for a, b in zip(out_p, out_q):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestStaticQat:
+    """Static-scale QAT (ModelConfig.int8_train_static): frozen calibration
+    scales in a `quant_scales` collection replace the per-batch absmax."""
+
+    def test_static_conv_matches_dynamic_at_true_scale(self, rng):
+        x = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, 16, 32).astype(np.float32))
+        sx = jnp.float32(np.abs(np.asarray(x)).max() / 127.0)
+        y_dyn = int8_ste_conv(x, w, (1, 1), "SAME", jnp.float32, None)
+        y_st = int8_ste_conv_static(x, w, sx, (1, 1), "SAME",
+                                    jnp.float32, None)
+        np.testing.assert_array_equal(np.asarray(y_dyn), np.asarray(y_st))
+
+        def loss(x, w, s):
+            return jnp.sum(int8_ste_conv_static(x, w, s, (1, 1), "SAME",
+                                                jnp.float32, None))
+
+        gx, gw, gs = jax.grad(loss, argnums=(0, 1, 2))(x, w, sx)
+        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        gx_p, gw_p = jax.grad(lambda a, b: jnp.sum(
+            jax.lax.conv_general_dilated(a, b, (1, 1), "SAME",
+                                         dimension_numbers=dn)),
+            argnums=(0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_p),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_p),
+                                   rtol=1e-6, atol=1e-6)
+        assert float(gs) == 0.0  # scale is frozen, no gradient flows
+
+    def test_static_saturates_out_of_range(self, rng):
+        """A too-small frozen scale clips at +-127 (standard static QAT)."""
+        x = jnp.full((1, 4, 4, 8), 10.0, jnp.float32)
+        w = jnp.asarray(np.eye(8, dtype=np.float32).reshape(1, 1, 8, 8))
+        y = int8_ste_conv_static(x, w, jnp.float32(0.01), (1, 1), "SAME",
+                                 jnp.float32, None)
+        np.testing.assert_allclose(np.asarray(y), 127 * 0.01, rtol=1e-5)
+
+    @pytest.mark.parametrize("s2d", [False, True])
+    def test_collection_matches_calibration_keys(self, rng, s2d):
+        """Every declared act_scale maps onto a `calibrate` key — the
+        naming contract between the train model and the PTQ mirror (stem1
+        declares none in s2d mode, mirroring the serving skip)."""
+        from yolov3_tpu.models import quantized as Q
+        cfg = ModelConfig(img_size=(64, 64, 3), number_classes=2,
+                          anchors=((16, 16), (32, 32)), block_count=1,
+                          filter_count=64, compute_dtype="float32",
+                          int8_train=True, int8_train_static=True,
+                          stem_space_to_depth=s2d)
+        model = YoloV3(cfg)
+        x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+        v = model.init(jax.random.PRNGKey(0), x, train=False)
+        assert "quant_scales" in v
+        scales = Q.calibrate(v["params"], v["batch_stats"], cfg, x)
+        qs = Q.scales_to_collection(scales, v["quant_scales"])
+        leaves = jax.tree_util.tree_leaves(qs)
+        assert len(leaves) > 10
+        assert all(float(l) > 0 for l in leaves)
+        if s2d:
+            assert "ConvBlock_0" not in v["quant_scales"]["Darknet53_0"]
+
+    def test_static_train_step_runs_and_decreases(self, rng):
+        cfg = ModelConfig(img_size=(64, 64, 3), number_classes=2,
+                          anchors=((16, 16), (32, 32)), block_count=1,
+                          filter_count=64, compute_dtype="float32",
+                          int8_train=True, int8_train_static=True)
+        tcfg = TrainConfig(batch_size=4, learning_rate=1e-3)
+        from yolov3_tpu.models import quantized as Q
+        model = YoloV3(cfg)
+        mesh = make_mesh(n_devices=2)
+        state = create_train_state(model, tcfg, jax.random.PRNGKey(0),
+                                   (1, 64, 64, 3))
+        assert state.quant_scales is not None
+        imgs = rng.randn(4, 64, 64, 3).astype(np.float32)
+        scales = Q.calibrate(state.params, state.batch_stats, cfg,
+                             jnp.asarray(imgs))
+        state = state.replace(quant_scales=Q.scales_to_collection(
+            scales, state.quant_scales))
+        state = replicate_to_mesh(state, mesh)
+        step = make_train_step(model, cfg, tcfg, mesh, 4)
+        from yolov3_tpu.data.encoder import encode_boxes
+        labels = encode_boxes(np.array([[16, 16, 32, 32, 0]], np.float32),
+                              cfg.img_size, cfg.anchors, cfg.number_classes)
+        batch = shard_batch(
+            (imgs, np.stack([labels[0]] * 4), np.stack([labels[1]] * 4),
+             np.stack([labels[2]] * 4)), mesh)
+        losses = []
+        for _ in range(8):
+            state, metrics = step(state, batch, jnp.float32(1e-3))
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
 
 
 class TestQatTrainStep:

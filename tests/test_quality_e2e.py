@@ -60,18 +60,22 @@ def _make_dataset(tmp_path, rng):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("int8_train", [False, True],
-                         ids=["bf16_train", "int8_ste_train"])
-def test_overfit_toy_dataset_reaches_high_map(tmp_path, rng, int8_train):
-    """`int8_train=True` additionally gates the QAT path end-to-end: a
+@pytest.mark.parametrize("mode", ["bf16_train", "int8_ste_train",
+                                  "int8_static_train"])
+def test_overfit_toy_dataset_reaches_high_map(tmp_path, rng, mode):
+    """`int8_ste_train` additionally gates the QAT path end-to-end: a
     model TRAINED with the int8-forward straight-through estimator must
-    still find the planted objects through both serving paths."""
+    still find the planted objects through both serving paths.
+    `int8_static_train` gates the static-scale variant (frozen calibration
+    scales, refreshed a few times like the trainer's per-epoch hook)."""
     img_dir, gt_dir, images, gts = _make_dataset(tmp_path, rng)
+    int8_train = mode != "bf16_train"
+    int8_static = mode == "int8_static_train"
 
     cfg = ModelConfig(img_size=(SIZE, SIZE, 3), number_classes=1,
                       anchors=((24, 24), (12, 12)), block_count=1,
                       filter_count=32, compute_dtype="float32",
-                      int8_train=int8_train)
+                      int8_train=int8_train, int8_train_static=int8_static)
     tcfg = TrainConfig(batch_size=N_IMAGES)
     model = YoloV3(cfg)
     mesh = make_mesh(n_devices=1)
@@ -90,9 +94,20 @@ def test_overfit_toy_dataset_reaches_high_map(tmp_path, rng, int8_train):
          np.stack([lab[1] for lab in labels]),
          np.stack([lab[2] for lab in labels])), mesh)
 
+    def recalibrate(st):
+        from yolov3_tpu.models import quantized as Q
+        scales = Q.calibrate(jax.device_get(st.params),
+                             jax.device_get(st.batch_stats), cfg,
+                             tbatch[0])
+        return st.replace(quant_scales=Q.scales_to_collection(
+            scales, st.quant_scales))
+
     lr = jnp.float32(LR)
     metrics = None
-    for _ in range(STEPS):
+    for i in range(STEPS):
+        if int8_static and i % 250 == 0:
+            # the trainer refreshes frozen scales once per epoch
+            state = recalibrate(state)
         state, metrics = step(state, tbatch, lr)
     final_loss = float(metrics["loss"])
     assert np.isfinite(final_loss)

@@ -9,10 +9,12 @@ from yolov3_tpu.config import ModelConfig, TrainConfig
 from yolov3_tpu.data.encoder import encode_boxes
 from yolov3_tpu.models.yolo import YoloV3
 from yolov3_tpu.parallel import (
+    ZeroAdamState,
     create_train_state,
     make_eval_step,
     make_mesh,
     make_train_step,
+    place_train_state,
     shard_batch,
     replicate_to_mesh,
 )
@@ -125,6 +127,52 @@ class TestTrainStep:
         m1 = evl(state, batch)
         m2 = evl(state, batch)
         assert float(m1["loss"]) == pytest.approx(float(m2["loss"]))
+
+    def test_zero1_matches_replicated(self, setup, rng):
+        """ZeRO-1 sharded Adam (shard_optimizer=True) reproduces the
+        replicated optimizer's trajectory: psum'd grads are replica-
+        identical, so slicing the update across chips and all_gathering
+        the params is the same arithmetic (parallel/train_step.py)."""
+        cfg, tcfg, model, mesh, gbs, state0 = setup
+        tcfg_z = TrainConfig(batch_size=1, shard_optimizer=True)
+        batch = shard_batch(make_batch(rng, gbs), mesh)
+        lr = jnp.float32(1e-3)
+
+        step_r = make_train_step(model, cfg, tcfg, mesh, gbs)
+        state_r = replicate_to_mesh(state0, mesh)
+
+        # same seed -> identical init params; only the opt_state differs
+        state_z = create_train_state(model, tcfg_z, jax.random.PRNGKey(0),
+                                     (1, *IMG), mesh=mesh)
+        assert isinstance(state_z.opt_state, ZeroAdamState)
+        # head biases have size A*(5+C)=14, not a multiple of 8 devices:
+        # the flat-pad + slice path is genuinely exercised
+        sizes = {p.size for p in jax.tree_util.tree_leaves(state0.params)}
+        assert any(s % len(jax.devices()) for s in sizes)
+        state_z = place_train_state(state_z, mesh)
+        step_z = make_train_step(model, cfg, tcfg_z, mesh, gbs)
+
+        for _ in range(3):
+            state_r, mr = step_r(state_r, batch, lr)
+            state_z, mz = step_z(state_z, batch, lr)
+
+        assert float(mr["loss"]) == pytest.approx(float(mz["loss"]),
+                                                  rel=1e-5)
+        pr = jax.device_get(state_r.params)
+        pz = jax.device_get(state_z.params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-6,
+                                                    atol=1e-7), pr, pz)
+
+    def test_zero1_eval_step_accepts_sharded_state(self, setup, rng):
+        cfg, _, model, mesh, gbs, _ = setup
+        tcfg_z = TrainConfig(batch_size=1, shard_optimizer=True)
+        state = place_train_state(
+            create_train_state(model, tcfg_z, jax.random.PRNGKey(0),
+                               (1, *IMG), mesh=mesh), mesh)
+        evl = make_eval_step(model, cfg, tcfg_z, mesh, gbs)
+        m = evl(state, shard_batch(make_batch(rng, gbs), mesh))
+        assert np.isfinite(float(m["loss"]))
 
     def test_lr_is_traced_not_compiled(self, setup, rng):
         """Changing lr must not retrigger compilation (warmup parity)."""

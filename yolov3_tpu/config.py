@@ -103,6 +103,14 @@ class ModelConfig:
     # stem1 and the detection heads stay bf16, mirroring the PTQ serving
     # skip. Eval/inference paths are unaffected.
     int8_train: bool = False
+    # Static-scale QAT (requires int8_train): quantize activations with
+    # FROZEN calibration scales (a `quant_scales` flax collection, seeded
+    # from `models/quantized.py::calibrate` and refreshed periodically by
+    # the trainer) instead of per-batch absmax — removes the per-layer
+    # activation absmax reduction from the forward, the serializing cost
+    # the round-3 int8-STE post-mortem measured (~2 ms/step, DESIGN.md).
+    # Out-of-range activations saturate at +-127 (standard static QAT).
+    int8_train_static: bool = False
     # Rematerialize residual/neck blocks in the backward pass
     # (jax.checkpoint): trades ~1/3 more FLOPs for activation memory,
     # enabling larger per-chip train batches at 512px+.
@@ -206,6 +214,17 @@ class TrainConfig:
     # the 5D slicing they replace (DESIGN.md round-3 ledger). Kept as a
     # tested alternative formulation; default off.
     packed_loss: bool = False
+    # ZeRO-1 optimizer-state sharding: each chip holds and updates only a
+    # 1/n_devices slice of the Adam moments and parameters, then
+    # all_gathers the updated params over ICI (parallel/train_step.py::
+    # ZeroAdamState). Numerically identical to the replicated optimizer
+    # (psum'd grads are replica-identical). The reference replicates Adam
+    # state on every GPU (Keras optimizer under MirroredStrategy,
+    # reference/train.py:38 + reference/model.py:451); sharding it cuts
+    # per-chip optimizer HBM traffic ~n_devices-fold (the round-3 train
+    # profile attributed ~4 ms of the 47 ms b16 step to Adam m/v/p reads/
+    # writes). Checkpoints taken with this on are tied to the mesh size.
+    shard_optimizer: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -55,9 +55,15 @@ class ConvBlock(nn.Module):
     dtype: Any = jnp.bfloat16
     use_pallas_pointwise: bool = False
     int8_ste: bool = False
+    int8_static: bool = False
 
     @nn.compact
     def __call__(self, x: Array, train: bool) -> Array:
+        if self.int8_ste and self.int8_static:
+            # frozen calibration scale (quant_scales collection): declared
+            # outside the train branch so init(train=False) creates it
+            sx = self.variable("quant_scales", "act_scale",
+                               lambda: jnp.ones((), jnp.float32))
         if self.int8_ste and train:
             # int8 MXU forward with straight-through bf16 backward
             # (`int8_ste_conv`); identical variable tree to the standard
@@ -68,8 +74,14 @@ class ConvBlock(nn.Module):
             bn = _BNParams(self.features, self.bn_momentum,
                            name="BatchNorm_0")
             k, b = conv()
-            y = int8_ste_conv(x, k, (self.stride, self.stride), "SAME",
-                              self.dtype, None)
+            if self.int8_static:
+                # no per-batch absmax reduction in the forward
+                y = int8_ste_conv_static(x, k, sx.value,
+                                         (self.stride, self.stride),
+                                         "SAME", self.dtype, None)
+            else:
+                y = int8_ste_conv(x, k, (self.stride, self.stride), "SAME",
+                                  self.dtype, None)
             y = y + b.astype(self.dtype)
             y = nn.leaky_relu(y, negative_slope=self.alpha)
             return _s2d_batchnorm(y, bn, train, 1, self.bn_epsilon,
@@ -451,6 +463,43 @@ def int8_ste_conv(x: Array, w: Array, strides, padding, dtype: Any,
     return (y.astype(jnp.float32) * (sx * sw)).astype(dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def int8_ste_conv_static(x: Array, w: Array, sx: Array, strides, padding,
+                         dtype: Any, lift_kind) -> Array:
+    """`int8_ste_conv` with a STATIC activation scale `sx` (a traced f32
+    scalar, e.g. from `models/quantized.py::calibrate`): the forward skips
+    the per-layer activation absmax reduction — the serializing cost the
+    round-3 int8-STE post-mortem attributed ~2 ms/step to (DESIGN.md) —
+    and quantizes with the frozen scale instead. Out-of-range activations
+    saturate at ±127, the standard static-QAT behavior; refresh scales
+    periodically via `train.py`'s recalibration hook. Backward is the same
+    straight-through bf16 conv VJP (zero grad to `sx`)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(sx.astype(jnp.float32), 1e-12)
+    qx = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    if lift_kind is None:
+        qw, sw = _ste_quantize_weight(w)
+    else:
+        qw, sw = _ste_quantize_weight(w)
+        lift = _S2D_CONV_KINDS[lift_kind][0]
+        qw = lift(qw)
+        sw = jnp.tile(sw, qw.shape[-1] // w.shape[-1])
+    y = jax.lax.conv_general_dilated(qx, qw, strides, padding,
+                                     dimension_numbers=_conv_dn(),
+                                     preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * (s * sw)).astype(dtype)
+
+
+def _int8_ste_static_fwd(x, w, sx, strides, padding, dtype, lift_kind):
+    return (int8_ste_conv_static(x, w, sx, strides, padding, dtype,
+                                 lift_kind), (x, w))
+
+
+def _int8_ste_static_bwd(strides, padding, dtype, lift_kind, res, dy):
+    dx, dw = _int8_ste_conv_bwd(strides, padding, dtype, lift_kind, res, dy)
+    return dx, dw, jnp.zeros((), jnp.float32)
+
+
 def _int8_ste_conv_fwd(x, w, strides, padding, dtype, lift_kind):
     return int8_ste_conv(x, w, strides, padding, dtype, lift_kind), (x, w)
 
@@ -471,6 +520,7 @@ def _int8_ste_conv_bwd(strides, padding, dtype, lift_kind, res, dy):
 
 
 int8_ste_conv.defvjp(_int8_ste_conv_fwd, _int8_ste_conv_bwd)
+int8_ste_conv_static.defvjp(_int8_ste_static_fwd, _int8_ste_static_bwd)
 
 
 class _ConvParams(nn.Module):
@@ -525,12 +575,20 @@ class _StemBlockParams(nn.Module):
     in_features: int
     kernel: int
     momentum: float
+    int8_static: bool = False
 
     def setup(self):
         self.conv = _ConvParams(
             (self.kernel, self.kernel, self.in_features, self.features),
             name="Conv_0")
         self.bn = _BNParams(self.features, self.momentum, name="BatchNorm_0")
+        if self.int8_static:
+            # declared only when static QAT is on, in its own collection —
+            # the params/batch_stats trees stay byte-identical to the
+            # standard path (test_s2d_stem::test_same_variable_tree)
+            self.act_scale = self.variable(
+                "quant_scales", "act_scale",
+                lambda: jnp.ones((), jnp.float32))
 
 
 class _S2DFeatureBlockParams(nn.Module):
@@ -540,12 +598,16 @@ class _S2DFeatureBlockParams(nn.Module):
     features: int
     kernel: int
     momentum: float
+    int8_static: bool = False
 
     def setup(self):
         self.block1 = _StemBlockParams(self.features // 2, self.features, 1,
-                                       self.momentum, name="ConvBlock_0")
+                                       self.momentum,
+                                       int8_static=self.int8_static,
+                                       name="ConvBlock_0")
         self.block2 = _StemBlockParams(self.features, self.features // 2,
                                        self.kernel, self.momentum,
+                                       int8_static=self.int8_static,
                                        name="ConvBlock_1")
 
 
@@ -608,7 +670,11 @@ def _s2d_conv_block(x: Array, blk: "_StemBlockParams", kind: str,
         # int8 MXU forward, STE backward; stem1 stays bf16 — mirrors the
         # serving path's stem1-only quantization skip (models/quantized.py)
         lift, strides, padding = _S2D_CONV_KINDS[kind]
-        y = int8_ste_conv(x, k, strides, padding, dtype, kind)
+        if getattr(blk, "int8_static", False):
+            y = int8_ste_conv_static(x, k, blk.act_scale.value, strides,
+                                     padding, dtype, kind)
+        else:
+            y = int8_ste_conv(x, k, strides, padding, dtype, kind)
     elif use_vjp:
         y = _s2d_conv(x, k, kind, dtype)
     elif stem1_im2row and kind == "stem1_direct":
@@ -732,14 +798,18 @@ class Darknet53(nn.Module):
               else FeatureBlock)
         if self.s2d_stem:
             assert k == 3, "space-to-depth region requires 3x3 kernels"
+            qs = (ck.get("int8_ste", False)
+                  and ck.get("int8_static", False))
+            # stem1 never quantizes (it stays bf16, mirroring the serving
+            # path's stem1-only skip) so it declares no act_scale
             stem1 = _StemBlockParams(fc // 32, x.shape[-1], k, mom,
                                      name="ConvBlock_0")
             stem2 = _StemBlockParams(fc // 16, fc // 32, k, mom,
-                                     name="ConvBlock_1")
-            fb = _S2DFeatureBlockParams(fc // 16, k, mom,
+                                     int8_static=qs, name="ConvBlock_1")
+            fb = _S2DFeatureBlockParams(fc // 16, k, mom, int8_static=qs,
                                         name="FeatureBlock_0")
             exit_conv = _StemBlockParams(fc // 8, fc // 16, k, mom,
-                                         name="ConvBlock_2")
+                                         int8_static=qs, name="ConvBlock_2")
             x = _s2d_region_apply(x, stem1, stem2, fb.block1, fb.block2,
                                   exit_conv, train, ck["alpha"],
                                   ck["bn_epsilon"], ck["dtype"],
@@ -785,7 +855,8 @@ class YoloV3(nn.Module):
         ck = dict(alpha=cfg.leaky_relu_alpha, bn_momentum=cfg.bn_momentum,
                   bn_epsilon=cfg.bn_epsilon, dtype=cfg.dtype,
                   use_pallas_pointwise=cfg.use_pallas_pointwise,
-                  int8_ste=cfg.int8_train)
+                  int8_ste=cfg.int8_train,
+                  int8_static=cfg.int8_train_static)
         k = cfg.kernel_size
         x = x.astype(cfg.dtype)
 

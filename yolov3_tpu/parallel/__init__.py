@@ -6,7 +6,9 @@ from yolov3_tpu.parallel.mesh import (  # noqa: F401
 )
 from yolov3_tpu.parallel.train_step import (  # noqa: F401
     TrainState,
+    ZeroAdamState,
     create_train_state,
     make_eval_step,
     make_train_step,
+    place_train_state,
 )

@@ -53,7 +53,7 @@ from yolov3_tpu.parallel import (
     make_eval_step,
     make_mesh,
     make_train_step,
-    replicate_to_mesh,
+    place_train_state,
     shard_batch,
 )
 from yolov3_tpu.utils import checkpoint as ckpt
@@ -75,7 +75,8 @@ def train_model(batch_size: int, test_every_n_steps: int,
                 model_overrides: Optional[dict] = None,
                 device_augment: bool = False,
                 shm_feed: bool = False,
-                resume: bool = False) -> Optional[str]:
+                resume: bool = False,
+                shard_optimizer: bool = False) -> Optional[str]:
     """Run the full training loop; returns the export path (or None)."""
     os.makedirs(output_folder, exist_ok=True)
 
@@ -88,7 +89,8 @@ def train_model(batch_size: int, test_every_n_steps: int,
                                learning_rate=learning_rate,
                                test_every_n_steps=test_every_n_steps,
                                early_stopping_count=early_stopping_count,
-                               use_augmentation=bool(use_augmentation))
+                               use_augmentation=bool(use_augmentation),
+                               shard_optimizer=shard_optimizer)
 
     # multi-host: each process reads a disjoint equal 1/world slice of the
     # databases (DP over hosts; shard is a no-op at world=1)
@@ -153,7 +155,7 @@ def train_model(batch_size: int, test_every_n_steps: int,
               f"anchors={list(cfg.anchors)}")
         model = YoloV3(cfg)
         state = create_train_state(model, tcfg, jax.random.PRNGKey(seed),
-                                   (batch_size, *img_size))
+                                   (batch_size, *img_size), mesh=mesh)
 
         # mid-run resume (the reference always restarts from scratch,
         # reference/train.py has no resume path; SURVEY.md §5): restore the
@@ -171,10 +173,34 @@ def train_model(batch_size: int, test_every_n_steps: int,
                     test_loss = [float(line) for line in fh if line.strip()]
             print(f"Resumed at step {int(state.step)}, "
                   f"{len(test_loss)} completed epochs")
-        state = replicate_to_mesh(state, mesh)
+        state = place_train_state(state, mesh)
 
         train_step = make_train_step(model, cfg, tcfg, mesh, global_batch_size)
         eval_step = make_eval_step(model, cfg, tcfg, mesh, global_batch_size)
+
+        # static-QAT (int8_train_static): refresh the frozen activation
+        # scales from a current batch at every epoch start. The calibration
+        # forward is jitted ONCE with params as arguments (the PTQ
+        # `calibrate` closes over them and would recompile per refresh).
+        recalibrate = None
+        if state.quant_scales is not None:
+            from yolov3_tpu.models import quantized as Qz
+
+            @jax.jit
+            def _calib(params, batch_stats, x):
+                collect = {}
+                Qz.forward_feature_maps(params, batch_stats, cfg, x,
+                                        collect=collect,
+                                        collect_reduce="absmax")
+                return collect
+
+            def recalibrate(st, images):
+                vals = jax.device_get(
+                    _calib(st.params, st.batch_stats, images))
+                scales = {k: max(float(v), 1e-12) / 127.0
+                          for k, v in vals.items()}
+                qs = Qz.scales_to_collection(scales, st.quant_scales)
+                return st.replace(quant_scales=qs)
 
         raw_train_batches = train_reader.batches(global_batch_size)
         raw_test_batches = test_reader.batches(global_batch_size)
@@ -238,6 +264,8 @@ def train_model(batch_size: int, test_every_n_steps: int,
         print("Running Network")
         while True:
             print(f"---- Epoch: {epoch} ----")
+            if recalibrate is not None:
+                state = recalibrate(state, next(train_batches)[0])
             if epoch == 0:
                 cur_train_epoch_size = min(tcfg.warmup_steps, train_epoch_size)
                 print(f"Performing Adam Optimizer learning rate warmup for "
@@ -326,8 +354,10 @@ def train_model(batch_size: int, test_every_n_steps: int,
 
     if best_checkpoint_saved:
         print("Converting best checkpoint into inference artifact")
+        # template structure must match the saved state (ZeRO-1 runs save
+        # a ZeroAdamState, tied to the training mesh size)
         template = create_train_state(model, tcfg, jax.random.PRNGKey(seed),
-                                      (batch_size, *img_size))
+                                      (batch_size, *img_size), mesh=mesh)
         restored = ckpt.restore_checkpoint(output_folder, template)
         export_path = ckpt.export_model(output_folder, restored.params,
                                         restored.batch_stats, cfg)
@@ -382,10 +412,21 @@ def main(argv=None) -> None:
     parser.add_argument("--resume", action="store_true",
                         help="resume from an existing checkpoint in "
                              "--output_dir (the reference cannot resume)")
+    parser.add_argument("--shard_optimizer", type=int, default=0,
+                        help="ZeRO-1: shard Adam moments + the param update "
+                             "across chips, all_gather updated params over "
+                             "ICI; numerically identical to the replicated "
+                             "optimizer [0=false, 1=true]")
     parser.add_argument("--int8_train", type=int, default=0,
                         help="quantization-aware training: run conv forwards "
                              "on the int8 MXU path (straight-through bf16 "
                              "backward) [0=false, 1=true]")
+    parser.add_argument("--int8_static", type=int, default=0,
+                        help="with --int8_train: quantize activations with "
+                             "FROZEN calibration scales refreshed once per "
+                             "epoch instead of per-batch absmax — removes "
+                             "the per-layer absmax reductions from the "
+                             "forward [0=false, 1=true]")
     args = parser.parse_args(argv)
 
     anchors = tuple(tuple(float(v) for v in a.split("x"))
@@ -405,8 +446,11 @@ def main(argv=None) -> None:
                 device_augment=bool(args.device_augment),
                 shm_feed=bool(args.shm_feed),
                 resume=args.resume,
-                model_overrides=({"int8_train": True} if args.int8_train
-                                 else None))
+                shard_optimizer=bool(args.shard_optimizer),
+                model_overrides=(dict(
+                    int8_train=True,
+                    **({"int8_train_static": True} if args.int8_static
+                       else {})) if args.int8_train else None))
 
 
 if __name__ == "__main__":
