@@ -112,6 +112,39 @@ class TestImport:
             np.testing.assert_allclose(np.asarray(fm), z[key],
                                        rtol=2e-3, atol=2e-3)
 
+    @pytest.mark.parametrize("s2d", [False, True])
+    def test_golden_output_parity_full(self, s2d):
+        """Full-architecture numbers-match gate: the fixture covers the
+        SHIPPING topology — block counts (1,2,8,8,4), filter_count=1024,
+        all 72 convs + 2 channel-sum upsamples + 3 heads of
+        reference/model.py:382-421 — not the bc=1 shrink. Weights are
+        regenerated deterministically from the stored seed
+        (utils/tf_golden.py::make_weights); the outputs were computed by
+        the independent float64 numpy transcription."""
+        import os
+
+        from yolov3_tpu.utils import tf_golden as G
+        path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "tf_golden_full.npz")
+        z = np.load(path)
+        seed, ncls, bc, fc = (int(v) for v in z["__meta__"])
+        anchors = ((16, 16), (32, 32))
+        weights = G.make_weights(seed, ncls, anchors, block_count=bc,
+                                 filter_count=fc)
+        params, stats = T.import_keras_weights(weights, block_count=bc)
+        cfg = ModelConfig(img_size=(64, 64, 3), number_classes=ncls,
+                          anchors=anchors, block_count=bc, filter_count=fc,
+                          compute_dtype="float32",
+                          upsample_channel_sum=True,
+                          stem_space_to_depth=s2d)
+        fms = YoloV3(cfg).apply({"params": params, "batch_stats": stats},
+                                jnp.asarray(z["__input__"]), train=False)
+        for fm, key in zip(fms, ("__fm1__", "__fm2__", "__fm3__")):
+            # 72 f32 convs vs the f64 oracle accumulate more rounding than
+            # the bc=1 gate; tolerances scaled accordingly
+            np.testing.assert_allclose(np.asarray(fm), z[key],
+                                       rtol=1e-2, atol=1e-2)
+
     def test_colon_zero_suffix_stripped(self):
         weights, _ = make_fixture(block_count=1, filter_count=64)
         with_suffix = {f"{k}:0": v for k, v in weights.items()}
