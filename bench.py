@@ -135,11 +135,13 @@ def main() -> None:
 
     @jax.jit
     def detect_int8(images):
-        # exit_pallas: the round-3 sweep's single surviving kernel win
-        # (28.69 vs 28.84 ms b64 XLA mirror; every other staged kernel
-        # regressed the full model — DESIGN.md round-3 sweep table)
+        # round-4 champion: the full S2D-region kernel with the folded
+        # fast epilogue (27.84 vs 28.15 ms b64 exit-kernel champion —
+        # DESIGN.md round-4 ledger); exit_pallas stays as the fallback
+        # when the region kernel is ineligible
         fms = Q.forward_feature_maps(params, batch_stats, cfg, images,
-                                     act_scales=scales, exit_pallas=True)
+                                     act_scales=scales, exit_pallas=True,
+                                     region_full=True, region_fast=True)
         return decode_detections(fms, cfg.anchors, cfg.number_classes,
                                  cfg.strides)
 

@@ -68,12 +68,15 @@ def main(argv=None):
 
     def make_int8(skip, requant_residual=True, pointwise_pallas=False,
                   exit_pallas=False, head_decode=False, down_pallas=False,
-                  conv3_pallas=False, head_pad=False, region_pallas=False):
+                  conv3_pallas=False, head_pad=False, region_pallas=False,
+                  region_full=False, region_fast=False, head_matmul=False):
         kw = dict(act_scales=scales, quant_skip=skip,
                   requant_residual=requant_residual,
                   pointwise_pallas=pointwise_pallas,
                   exit_pallas=exit_pallas, down_pallas=down_pallas,
-                  conv3_pallas=conv3_pallas, region_pallas=region_pallas)
+                  conv3_pallas=conv3_pallas, region_pallas=region_pallas,
+                  region_full=region_full, region_fast=region_fast,
+                  head_matmul=head_matmul)
 
         @jax.jit
         def f(images):
@@ -146,6 +149,15 @@ def main(argv=None):
     # subsumes the exit kernel, so exit_pallas is irrelevant here)
     bench("int8_region", make_int8(("Darknet53_0/ConvBlock_0",),
                                    region_pallas=True))
+    # FULL region kernel (stem2 folded in, scratch-carried pipeline)
+    bench("int8_regionfull", make_int8(("Darknet53_0/ConvBlock_0",),
+                                       region_full=True))
+    # full region kernel with the folded fast epilogue
+    bench("int8_regionfast", make_int8(("Darknet53_0/ConvBlock_0",),
+                                       region_full=True, region_fast=True))
+    # head 1x1 as a flattened-view matmul (XLA-only, no Pallas)
+    bench("int8_headmm", make_int8(("Darknet53_0/ConvBlock_0",),
+                                   exit_pallas=True, head_matmul=True))
     bench("int8_fused_fb4", make_fused(("Darknet53_0/FeatureBlock_4",)))
     bench("int8_headdec", make_int8(("Darknet53_0/ConvBlock_0",),
                                     exit_pallas=True, head_decode=True))
@@ -177,6 +189,14 @@ def main(argv=None):
                        ("Darknet53_0/ConvBlock_0",), exit_pallas=True),
                    "int8_region": make_int8(
                        ("Darknet53_0/ConvBlock_0",), region_pallas=True),
+                   "int8_regionfull": make_int8(
+                       ("Darknet53_0/ConvBlock_0",), region_full=True),
+                   "int8_headmm": make_int8(
+                       ("Darknet53_0/ConvBlock_0",), exit_pallas=True,
+                       head_matmul=True),
+                   "int8_regionfast": make_int8(
+                       ("Darknet53_0/ConvBlock_0",), region_full=True,
+                       region_fast=True),
                    "int8_headpad": make_int8(
                        ("Darknet53_0/ConvBlock_0",), exit_pallas=True,
                        head_pad=True),

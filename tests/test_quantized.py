@@ -55,6 +55,16 @@ class TestHeadPad:
         got = np.asarray(Q.forward_detections(p, bs, cfg, x, head_pad=True))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
+    def test_head_matmul_matches_conv(self):
+        """The flattened-view matmul head reproduces the 1x1-conv head
+        (same contraction, different tiling -> last-ulp tolerance)."""
+        cfg, model, variables, x = make_model(True)
+        p, bs = variables["params"], variables["batch_stats"]
+        want = np.asarray(Q.forward_detections(p, bs, cfg, x))
+        got = np.asarray(Q.forward_detections(p, bs, cfg, x,
+                                              head_matmul=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
     def test_head_pad_width_fallbacks(self):
         # A=3 does not divide 128 -> no padding
         cfg3 = ModelConfig(img_size=(64, 64, 3), number_classes=2,

@@ -119,6 +119,9 @@ class _Ctx:
                  down_pallas: bool = False,
                  conv3_pallas: bool = False,
                  region_pallas: bool = False,
+                 region_full: bool = False,
+                 region_fast: bool = False,
+                 head_matmul: bool = False,
                  head_pad: bool = False):
         self.cfg = cfg
         self.act_scales = act_scales
@@ -126,6 +129,9 @@ class _Ctx:
         self.exit_pallas = exit_pallas
         self.down_pallas = down_pallas
         self.region_pallas = region_pallas
+        self.region_full = region_full
+        self.region_fast = region_fast
+        self.head_matmul = head_matmul
         self.dtype = cfg.dtype
         self.quant_skip = frozenset(quant_skip)
         self.fused_blocks = fused_blocks
@@ -762,6 +768,102 @@ def _s2d_tail(ctx: _Ctx, p: dict, bs: dict, conv_in: Array) -> Array:
         return jax.lax.optimization_barrier(out)
 
 
+def _region_full_eligible(ctx: _Ctx, p: dict, conv_in: Array) -> bool:
+    """The full-region kernel needs all five conv blocks int8-calibrated
+    (it consumes stem1's pre-quantized s8 output and emits
+    FeatureBlock_1's entry) and the band plan within its VMEM budget."""
+    from yolov3_tpu.ops.pallas.s2d_region_kernel import vmem_fits
+
+    d = "Darknet53_0"
+    names = (f"{d}/ConvBlock_1", f"{d}/FeatureBlock_0/ConvBlock_0",
+             f"{d}/FeatureBlock_0/ConvBlock_1", f"{d}/ConvBlock_2",
+             f"{d}/FeatureBlock_1/ConvBlock_0")
+    if not (ctx.int8 and ctx.requant_residual):
+        return False
+    if any(nm in ctx.quant_skip or nm not in ctx.act_scales
+           for nm in names):
+        return False
+    n, h2, w2, c1 = conv_in.shape
+    cm = 4 * p[d]["FeatureBlock_0"]["ConvBlock_0"]["Conv_0"][
+        "kernel"].shape[3]
+    c = 4 * p[d]["ConvBlock_1"]["Conv_0"]["kernel"].shape[3]
+    co = p[d]["ConvBlock_2"]["Conv_0"]["kernel"].shape[3]
+    return vmem_fits(h2 // 2, w2 // 2, n, c1, c, cm, co)
+
+
+def _s2d_region_fused(ctx: _Ctx, p: dict, bs: dict, conv_in: Array) -> Array:
+    """Pack the full region's lifted kernels + folded epilogues and run
+    the fused band pipeline. conv_in: stem1's pre-quantized s8 output
+    (scale s1 = ConvBlock_1's activation scale)."""
+    from yolov3_tpu.ops.pallas.s2d_region_kernel import s2d_region_block_q
+
+    d = "Darknet53_0"
+    fb = f"{d}/FeatureBlock_0"
+    pfb, bfb = p[d]["FeatureBlock_0"], bs[d]["FeatureBlock_0"]
+    k2 = Y._s2d_kernel_stride2_stay(p[d]["ConvBlock_1"]["Conv_0"]["kernel"])
+    kf1 = Y._s2d_kernel_1x1(pfb["ConvBlock_0"]["Conv_0"]["kernel"])
+    kf2 = Y._s2d_kernel_stride1(pfb["ConvBlock_1"]["Conv_0"]["kernel"])
+    k3 = Y._s2d_kernel_stride2_exit(p[d]["ConvBlock_2"]["Conv_0"]["kernel"])
+    c1, c = k2.shape[2], k2.shape[3]
+    cm, co = kf1.shape[3], k3.shape[3]
+    s1 = jnp.float32(ctx.act_scales[f"{d}/ConvBlock_1"])
+    s2 = jnp.float32(ctx.act_scales[f"{fb}/ConvBlock_0"])
+    s3 = jnp.float32(ctx.act_scales[f"{fb}/ConvBlock_1"])
+    s4 = jnp.float32(ctx.act_scales[f"{d}/ConvBlock_2"])
+    s5 = jnp.float32(ctx.act_scales[f"{d}/FeatureBlock_1/ConvBlock_0"])
+
+    def stage(pp, bb, ww, sx, tile):
+        wq, sw = _quantize_weight(ww)
+        dq = sx * sw
+        mul, add = _bn_affine(ctx.cfg, pp, bb)
+        b = pp["Conv_0"]["bias"].astype(jnp.float32)
+        if tile > 1:
+            b, mul, add = (jnp.tile(v, tile) for v in (b, mul, add))
+        return wq, b / dq, mul * dq, add
+
+    wq2, b2s, m2s, a2s = stage(p[d]["ConvBlock_1"], bs[d]["ConvBlock_1"],
+                               k2, s1, 4)
+    wq1, b1, m1, a1 = stage(pfb["ConvBlock_0"], bfb["ConvBlock_0"],
+                            kf1, s2, 4)
+    wqf, bf, mf, af = stage(pfb["ConvBlock_1"], bfb["ConvBlock_1"],
+                            kf2, s3, 4)
+    wq3, b3, m3, a3 = stage(p[d]["ConvBlock_2"], bs[d]["ConvBlock_2"],
+                            k3, s4, 1)
+
+    def pad(v):
+        return jnp.zeros((c,), jnp.float32).at[:v.shape[0]].set(v)
+
+    fast = ctx.region_fast
+    if fast:
+        # pre-fold each stage's requant 1/s into its affine (the kernel's
+        # fast epilogue skips the separate inv multiply and the bf16
+        # roundtrips; see s2d_region_block_q docstring)
+        m1, a1 = m1 / s3, a1 / s3
+        mf, af = mf / s4, af / s4
+        res_row = jnp.full((c,), s2 / s4)
+        m3, a3 = m3 / s5, a3 / s5
+        m2s, a2s = m2s / s2, a2s / s2
+    else:
+        res_row = jnp.full((c,), s2)
+    epi = jnp.stack([
+        pad(b1), pad(m1), pad(a1), pad(jnp.full((cm,), 1.0 / s3)),
+        pad(bf), pad(mf), pad(af), res_row,
+        jnp.full((c,), 1.0 / s4),
+        pad(b3), pad(m3), pad(a3), pad(jnp.full((co,), 1.0 / s5)),
+        pad(b2s), pad(m2s), pad(a2s), jnp.full((c,), 1.0 / s2),
+    ])
+    with jax.named_scope(f"{d}/s2d_region_pallas"):
+        # barrier-pinned boundaries, same rationale as the exit kernel
+        xb = jax.lax.optimization_barrier(conv_in)
+        out = s2d_region_block_q(
+            xb, wq2.reshape(9, c1, c), wq1.reshape(c, cm),
+            wqf.reshape(9, cm, c), wq3.reshape(4, c, co), epi,
+            alpha=ctx.cfg.leaky_relu_alpha,
+            cast_bf16=(ctx.dtype == jnp.bfloat16), fast=fast,
+            interpret=ctx.fused_interpret)
+        return jax.lax.optimization_barrier(out)
+
+
 def _s2d_region(ctx: _Ctx, p: dict, bs: dict, x: Array) -> Array:
     """Mirror of `_s2d_region_apply` (inference path) in any mode."""
     d = "Darknet53_0"
@@ -770,6 +872,16 @@ def _s2d_region(ctx: _Ctx, p: dict, bs: dict, x: Array) -> Array:
     y = _conv_block(ctx, f"{d}/ConvBlock_0", p[d]["ConvBlock_0"],
                     bs[d]["ConvBlock_0"], x, stride=2, kernel_override=k4,
                     padding=((1, 2), (1, 2)), out_tile=4)
+    if ctx.region_full:
+        conv_in1, _ = ctx.block_input(f"{d}/ConvBlock_1", y)
+        if (conv_in1.dtype == jnp.int8
+                and _region_full_eligible(ctx, p, conv_in1)):
+            # stem2 -> pw -> FB0 3x3 -> residual -> exit as ONE Pallas
+            # band pipeline with cross-band scratch carries
+            # (ops/pallas/s2d_region_kernel.py): the stem2 and tail stage
+            # boundaries never touch HBM; emits FeatureBlock_1's
+            # pre-quantized s8 input directly
+            return _s2d_region_fused(ctx, p, bs, conv_in1)
     k2 = Y._s2d_kernel_stride2_stay(p[d]["ConvBlock_1"]["Conv_0"]["kernel"])
     y = _down_block(ctx, f"{d}/ConvBlock_1", p[d]["ConvBlock_1"],
                     bs[d]["ConvBlock_1"], y,
@@ -889,6 +1001,9 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                          down_pallas: bool = False,
                          conv3_pallas: bool = False,
                          region_pallas: bool = False,
+                         region_full: bool = False,
+                         region_fast: bool = False,
+                         head_matmul: bool = False,
                          ) -> Tuple[Array, Array, Array]:
     """Inference feature maps, mirroring `YoloV3.apply(..., train=False)`.
 
@@ -905,7 +1020,9 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                requant_residual=requant_residual,
                pointwise_pallas=pointwise_pallas,
                exit_pallas=exit_pallas, down_pallas=down_pallas,
-               conv3_pallas=conv3_pallas, region_pallas=region_pallas)
+               conv3_pallas=conv3_pallas, region_pallas=region_pallas,
+               region_full=region_full, region_fast=region_fast,
+               head_matmul=head_matmul)
     return tuple(_apply_head(ctx, params, nm, h)
                  for nm, h in _forward_necks(ctx, params, batch_stats, x))
 
@@ -937,6 +1054,16 @@ def _apply_head(ctx: _Ctx, p: dict, name: str, h: Array) -> Array:
     lanes (decode slices the pad away; bit-identical outputs)."""
     w = p[name]["Conv_0"]["kernel"].astype(ctx.dtype)
     b = p[name]["Conv_0"]["bias"].astype(ctx.dtype)
+    if ctx.head_matmul:
+        # head 1x1 as a dot on the FLATTENED spatial view (the packed-
+        # decode trick): the conv form emits f32[B,gh,gw,14]{0,3,2,1} at
+        # 0.68 ms vs a ~0.02 ms matmul floor (round-3/4 profiles); a
+        # [B*gh*gw, Ci] @ [Ci, 14] dot gives XLA a shape it can tile
+        # without the 14-lane channel-minor trap
+        n, gh, gw, ci = h.shape
+        co = w.shape[-1]
+        y = jnp.dot(h.reshape(n * gh * gw, ci), w.reshape(ci, co)) + b
+        return y.reshape(n, gh, gw, co)
     dp = head_pad_width(ctx.cfg) if ctx.head_pad else 0
     if dp:
         a = len(ctx.cfg.anchors)
@@ -1115,16 +1242,23 @@ def scales_to_collection(scales: Dict[str, float], template) -> Any:
 def default_serving_kernels() -> Dict[str, bool]:
     """The measured-winner Pallas kernel flag set for int8 serving.
 
-    Round-3 full-model A/B at the b64 operating point (DESIGN.md round-3
-    sweep): ONLY the barrier-pinned exit-conv kernel beats the XLA mirror
-    (28.69 vs 28.84 ms); every other staged kernel (downsample, head
-    +decode, pointwise, conv3 chain, fused FeatureBlock) regresses the
-    full model despite winning its op in isolation. Gated to the TPU
-    backend — on CPU Mosaic kernels only run in interpret mode, a test
-    facility, so the dict is empty there and the XLA mirror serves.
+    Round-4 full-model A/B at the b64 operating point (DESIGN.md round-4
+    ledger): the FULL S2D-region kernel with the folded fast epilogue
+    (stem2+pw+3x3+residual+exit in one scratch-carried band pipeline,
+    `ops/pallas/s2d_region_kernel.py`) beats the round-3 exit-kernel
+    champion 27.84 vs 28.15 ms. `exit_pallas` stays on as the fallback
+    for configs where the region kernel is ineligible (uncalibrated
+    blocks, VMEM overflow, non-s2d stems) — when the region kernel
+    engages, the exit-conv path is never reached. Every other staged
+    kernel (downsample, head+decode, pointwise, conv3 chain, fused
+    FeatureBlock; round-3 sweep) regresses the full model despite
+    winning its op in isolation. Gated to the TPU backend — on CPU
+    Mosaic kernels only run in interpret mode, a test facility, so the
+    dict is empty there and the XLA mirror serves.
     """
     if jax.default_backend() == "tpu":
-        return {"exit_pallas": True}
+        return {"exit_pallas": True, "region_full": True,
+                "region_fast": True}
     return {}
 
 

@@ -1,0 +1,318 @@
+"""Pallas TPU kernel: the WHOLE S2D region after stem1 (stem2 -> pw ->
+FB0 3x3 -> residual -> exit) as ONE VMEM-resident band pipeline with
+cross-band scratch carries.
+
+Extends `s2d_tail_kernel.py` one stage upstream, per the round-4 profile
+diff (DESIGN.md round-4 ledger): stem2 runs at 1.91 ms in XLA against a
+~0.82 ms traffic + 0.35 ms MXU floor, and its 268 MB/step s8 output is
+written to HBM only to be re-read (twice — conv + residual) by the tail.
+Folding it in, the kernel consumes stem1's pre-quantized s8 output
+directly and the stem2 boundary never exists.
+
+Stages (per output row r of the 128-dom, width W x bt x C):
+
+    x   = s8 stem1 out [N, 2H, 2W, c1]   (scale s1, c1 = 4*Ci)
+    q2  = quant(epilogue(sum_9 x[2r+u, 2c+v] @ W2[u,v]), s2)   stem2
+          (lifted stride-2 "stay" conv: 3-row/3-col window at stride 2,
+           padding (0,1) — models/yolo.py::_s2d_kernel_stride2_stay)
+    q3  = quant(epilogue(q2 @ Wpw), s3)                         pw
+    z   = epilogue(sum_9taps q3 @ Wfb0[u,v])                    FB0 3x3
+    y   = bf16(z) + bf16(q2 * s2)                               residual
+    q4  = quant(y, s4)
+    out = quant(epilogue(sum_4taps q4 @ Wex), s5)               exit
+
+Unlike the tail kernel (which recomputes its lead stage on 3 halo rows
+per band), every q2/q3/q4 row here is computed EXACTLY ONCE: the rolling
+pipeline state (1 q2 row, 2 q3 rows, 1 q4 row) is carried between bands
+in VMEM scratch — TPU grid iteration is sequential with the last grid
+dim innermost, so band jh+1 reads what band jh wrote, and the `jh == 0`
+prologue (re)initializes the carry at each new batch tile. Input rows
+arrive as two block-aligned `ro`-row views (indices 2*jh+8/ro and +1
+of an ro-row blocking — band jh needs 256-dom rows [2*r0+4, 2*r0+2*ro+4],
+whose start is ro-block aligned for ro in {2,4}) plus ONE overlap halo
+row; the prologue's rows 0..4 ride a constant-index block that Pallas
+fetches only when its index changes (= once per batch tile). Column taps
+for stem2 come from an even/odd reshape view of the 2W-wide row (tap v=2
+is the even view shifted one block left) — no strided slicing.
+
+Layout contract and epilogue semantics identical to the tail kernel
+(barrier-pinned [H,W,B,C] bitcast views; `models/quantized.py::_epilogue`
+with dq commuted through LeakyReLU; bit-comparable to the XLA mirror).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from yolov3_tpu.ops.pallas.s2d_tail_kernel import _MM, _epilogue, _quant
+
+_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _estimate(ro: int, w: int, bt: int, c1: int, c: int, cm: int,
+              co: int) -> int:
+    """Peak VMEM bytes for one band (ro output rows)."""
+    irow = 2 * w * bt * c1            # one 256-dom input row, s8
+    row = w * bt
+    return (2 * 2 * ro * irow         # xA + xB blocks (dblbuf)
+            + 2 * irow                # overlap halo row (dblbuf)
+            + 2 * 5 * irow            # prologue block (dblbuf)
+            + 2 * ro * row * co       # out (dblbuf)
+            + row * c + 2 * row * cm + row * c   # scratch carries
+            + (ro + 2) * row * cm     # band-live q3 rows
+            + 3 * row * c * 4         # per-row s32/f32 chains
+            + row * cm * 4
+            + 9 * c1 * c + cm * c + 9 * cm * c + 4 * c * co + 17 * c * 4)
+
+
+def _plan(h: int, w: int, b: int, c1: int, c: int, cm: int, co: int):
+    bt = 8 if b % 8 == 0 else b
+    # the x-window start 2*r0+4 must be ro-block aligned -> ro in {4, 2};
+    # the prologue needs 5 input rows -> 2h >= 5
+    for ro in (4, 2):
+        if h % ro == 0 and h > ro and _estimate(
+                ro, w, bt, c1, c, cm, co) <= _VMEM_BUDGET:
+            return ro, bt
+    return 0, 0
+
+
+def vmem_fits(h: int, w: int, b: int, c1: int, c: int, cm: int,
+              co: int) -> bool:
+    if h < 4 or w < 2:
+        return False
+    ro, bt = _plan(h, w, b, c1, c, cm, co)
+    return ro > 0
+
+
+def _kernel(xpro_ref, xa_ref, xb_ref, xh_ref, w2_ref, wpw_ref, wfb_ref,
+            wex_ref, epi_ref, out_ref, q2s, q3s, q4s, *, ro: int, h: int,
+            w: int, bt: int, c1: int, c: int, cm: int, co: int,
+            alpha: float, cast_bf16: bool, fast: bool):
+    jh = pl.program_id(1)
+    r0 = jh * ro
+    m = w * bt
+    h2 = 2 * h
+
+    def stage_q(acc, b, mul, add, inv):
+        """conv epilogue + requantize. `fast`: the packing pre-folds the
+        requant 1/s into mul/add, LeakyReLU becomes max(y, alpha*y)
+        (EXACT for 0<alpha<1), and the mirror's bf16 roundtrip is dropped
+        — ~1/3 fewer VPU ops per element, <=2 s8-code divergence."""
+        if fast:
+            y = acc.astype(jnp.float32) + b
+            y = jnp.maximum(y, alpha * y)
+            return jnp.clip(jnp.round(y * mul + add),
+                            -127.0, 127.0).astype(jnp.int8)
+        y = _epilogue(acc, b, mul, add, alpha, cast_bf16)
+        return _quant(y, inv)
+
+    def stem2_row(rows3, g_out):
+        """q2 row `g_out` from its three 256-dom input rows (already
+        masked-fetch order: row u covers global 2*g_out+u)."""
+        acc = None
+        for u, row in enumerate(rows3):
+            gg = 2 * g_out + u
+            rowm = jnp.where(gg <= h2 - 1, row, jnp.zeros_like(row))
+            ev = rowm.reshape(w, 2, bt, c1)
+            t0 = ev[:, 0]                                  # cols 2j
+            t1 = ev[:, 1]                                  # cols 2j+1
+            t2 = jnp.concatenate(
+                [t0[1:], jnp.zeros((1, bt, c1), jnp.int8)], axis=0)
+            for vv, tap in enumerate((t0, t1, t2)):
+                part = jax.lax.dot_general(
+                    tap.reshape(m, c1), w2_ref[u * 3 + vv], _MM,
+                    preferred_element_type=jnp.int32)
+                acc = part if acc is None else acc + part
+        q = stage_q(acc, epi_ref[13, :c], epi_ref[14, :c],
+                    epi_ref[15, :c], epi_ref[16, :c]).reshape(w, bt, c)
+        return jnp.where(g_out <= h - 1, q, jnp.zeros_like(q))
+
+    def pw_row(q2k, g_out):
+        acc = jax.lax.dot_general(q2k.reshape(m, c), wpw_ref[...], _MM,
+                                  preferred_element_type=jnp.int32)
+        q = stage_q(acc, epi_ref[0, :cm], epi_ref[1, :cm],
+                    epi_ref[2, :cm], epi_ref[3, :cm]).reshape(w, bt, cm)
+        # a zero q2 row does NOT give a zero q3 row (bias); re-mask so
+        # off-image rows are FB0's zero padding
+        return jnp.where(g_out <= h - 1, q, jnp.zeros_like(q))
+
+    def fb0_row(q3_win, q2_res, g_out):
+        zcol = jnp.zeros((1, bt, cm), jnp.int8)
+        acc = None
+        for u in range(3):
+            row = q3_win[u]
+            v0 = jnp.concatenate([zcol, row[:-1]], axis=0)
+            v2 = jnp.concatenate([row[1:], zcol], axis=0)
+            for vv, tap in enumerate((v0, row, v2)):
+                part = jax.lax.dot_general(
+                    tap.reshape(m, cm), wfb_ref[u * 3 + vv], _MM,
+                    preferred_element_type=jnp.int32)
+                acc = part if acc is None else acc + part
+        if fast:
+            # residual folded into the same affine: q4 = clip(round(
+            #   affine(acc)*(mul/s4) + add/s4 + q2*(s2/s4) ))
+            z = acc.astype(jnp.float32) + epi_ref[4, :c]
+            z = jnp.maximum(z, alpha * z)
+            y = (z * epi_ref[5, :c] + epi_ref[6, :c]
+                 + q2_res.reshape(m, c).astype(jnp.float32)
+                 * epi_ref[7, :c])
+            q = jnp.clip(jnp.round(y), -127.0,
+                         127.0).astype(jnp.int8).reshape(w, bt, c)
+            return jnp.where(g_out <= h - 1, q, jnp.zeros_like(q))
+        z = _epilogue(acc, epi_ref[4, :c], epi_ref[5, :c], epi_ref[6, :c],
+                      alpha, cast_bf16)
+        res = q2_res.reshape(m, c).astype(jnp.float32) * epi_ref[7, :c]
+        if cast_bf16:
+            res = res.astype(jnp.bfloat16).astype(jnp.float32)
+        y = res + z
+        if cast_bf16:
+            y = y.astype(jnp.bfloat16).astype(jnp.float32)
+        q = _quant(y, epi_ref[8, :c]).reshape(w, bt, c)
+        return jnp.where(g_out <= h - 1, q, jnp.zeros_like(q))
+
+    def exit_row(j, q4a, q4b):
+        acc = None
+        for t in range(4):
+            u, vv = divmod(t, 2)
+            tap = (q4a, q4b)[u]
+            if vv == 1:
+                tap = jnp.concatenate(
+                    [tap[1:], jnp.zeros((1, bt, c), jnp.int8)], axis=0)
+            part = jax.lax.dot_general(tap.reshape(m, c), wex_ref[t], _MM,
+                                       preferred_element_type=jnp.int32)
+            acc = part if acc is None else acc + part
+        out_ref[j] = stage_q(acc, epi_ref[9, :co], epi_ref[10, :co],
+                             epi_ref[11, :co],
+                             epi_ref[12, :co]).reshape(w, bt, co)
+
+    @pl.when(jh == 0)
+    def _prologue():
+        # carry-init for out row r0=0: q2 row 1, q3 rows 0..1, q4 row 0
+        q2_0 = stem2_row([xpro_ref[u] for u in range(3)], 0)
+        q2_1 = stem2_row([xpro_ref[u] for u in range(2, 5)], 1)
+        q3_0 = pw_row(q2_0, 0)
+        q3_1 = pw_row(q2_1, 1)
+        zrow = jnp.zeros((w, bt, cm), jnp.int8)   # q3[-1]: FB0's top pad
+        q2s[0] = q2_1
+        q3s[0] = q3_0
+        q3s[1] = q3_1
+        q4s[0] = fb0_row([zrow, q3_0, q3_1], q2_0, 0)
+
+    def x_row(off):
+        """256-dom input row at window offset `off` (global 2*r0+4+off)."""
+        if off < ro:
+            return xa_ref[off]
+        if off < 2 * ro:
+            return xb_ref[off - ro]
+        return xh_ref[0]
+
+    # band body: out rows r = r0 + j; each step computes q2/q3 row r+2,
+    # q4 row r+1, and the exit conv for row r
+    q2_prev = q2s[0]            # q2 row r0+1
+    q3_a, q3_b = q3s[0], q3s[1]  # q3 rows r0, r0+1
+    q4_a = q4s[0]               # q4 row r0
+    for j in range(ro):
+        g = r0 + j + 2
+        q2_new = stem2_row([x_row(2 * j + u) for u in range(3)], g)
+        q3_new = pw_row(q2_new, g)
+        q4_new = fb0_row([q3_a, q3_b, q3_new], q2_prev, r0 + j + 1)
+        exit_row(j, q4_a, q4_new)
+        q2_prev, q3_a, q3_b, q4_a = q2_new, q3_b, q3_new, q4_new
+    q2s[0] = q2_prev
+    q3s[0] = q3_a
+    q3s[1] = q3_b
+    q4s[0] = q4_a
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("alpha", "cast_bf16", "fast",
+                                    "interpret"))
+def s2d_region_block_q(xq: jnp.ndarray, w_s2: jnp.ndarray,
+                       w_pw: jnp.ndarray, w_fb0: jnp.ndarray,
+                       w_exit: jnp.ndarray, epi: jnp.ndarray, *,
+                       alpha: float = 0.1, cast_bf16: bool = True,
+                       fast: bool = False,
+                       interpret: bool = False) -> jnp.ndarray:
+    """s8 [N,2H,2W,c1] (stem1 out) -> s8 [N,H,W,Co] (FeatureBlock_1 in).
+
+    w_s2 s8 [9, c1, 4Ci] ((U,V) major lifted stride-2 "stay" kernel);
+    w_pw s8 [4Ci, 4Cm]; w_fb0 s8 [9, 4Cm, 4Ci]; w_exit s8 [4, 4Ci, Co].
+    epi f32 [17, max_c]:
+      0-3   pw:    b/dq, mul*dq, add, 1/s3
+      4-8   fb0:   b/dq, mul*dq, add, s2 (residual dequant), 1/s4
+      9-12  exit:  b/dq, mul*dq, add, 1/s5
+      13-16 stem2: b/dq, mul*dq, add, 1/s2
+    (per-stage rows zero-padded to the widest channel count).
+
+    `fast`: the caller pre-folds each stage's requant 1/s into its
+    mul/add rows (for fb0 also fold 1/s4 into the residual's s2 row);
+    rows 3/8/12/16 are then ignored, LeakyReLU runs as max(y, alpha*y)
+    (exact), and the mirror's intermediate bf16 casts are dropped —
+    ~1/3 fewer VPU ops per element at <=2 s8-code divergence from the
+    exact mode.
+    """
+    n, h2, w2, c1 = xq.shape
+    h, w = h2 // 2, w2 // 2
+    c = w_s2.shape[-1]
+    cm = w_pw.shape[-1]
+    co = w_exit.shape[-1]
+    ro, bt = _plan(h, w, n, c1, c, cm, co)
+    nhb = h // ro
+    lead = 4 // ro  # x-window start 2*ro*jh+4 in ro-row block units
+
+    xt = jnp.transpose(xq, (1, 2, 0, 3))  # bitcast on conv layouts
+    nb2 = h2 // ro  # number of ro-row blocks in the 256-dom
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, ro=ro, h=h, w=w, bt=bt, c1=c1, c=c,
+                          cm=cm, co=co, alpha=alpha, cast_bf16=cast_bf16,
+                          fast=fast),
+        grid=(n // bt, nhb),
+        in_specs=[
+            # prologue rows 0..4: constant block index -> fetched only
+            # when a new batch tile starts
+            pl.BlockSpec((5, w2, bt, c1), lambda ib, jh: (0, 0, ib, 0),
+                         memory_space=pltpu.VMEM),
+            # band window rows [2*r0+4, 2*r0+2*ro+4): two aligned ro-row
+            # blocks + the single overlap row (clamped at the bottom edge;
+            # out-of-image rows are masked in-kernel)
+            pl.BlockSpec((ro, w2, bt, c1),
+                         lambda ib, jh: (jnp.minimum(2 * jh + lead,
+                                                     nb2 - 1), 0, ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ro, w2, bt, c1),
+                         lambda ib, jh: (jnp.minimum(2 * jh + lead + 1,
+                                                     nb2 - 1), 0, ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w2, bt, c1),
+                         lambda ib, jh: (jnp.minimum(
+                             2 * ro * (jh + 1) + 4, h2 - 1), 0, ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_s2.shape, lambda ib, jh: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_pw.shape, lambda ib, jh: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_fb0.shape, lambda ib, jh: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_exit.shape, lambda ib, jh: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(epi.shape, lambda ib, jh: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ro, w, bt, co),
+                               lambda ib, jh: (jh, 0, ib, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w, n, co), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((1, w, bt, c), jnp.int8),    # q2 carry
+            pltpu.VMEM((2, w, bt, cm), jnp.int8),   # q3 carry
+            pltpu.VMEM((1, w, bt, c), jnp.int8),    # q4 carry
+        ],
+        interpret=interpret,
+    )(xt, xt, xt, xt, w_s2, w_pw, w_fb0, w_exit, epi.astype(jnp.float32))
+    return jnp.transpose(out, (2, 0, 1, 3))
