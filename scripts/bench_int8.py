@@ -92,19 +92,6 @@ def main(argv=None):
     mirror_int8 = make_int8(Q.DEFAULT_QUANT_SKIP)
     mirror_int8_all = make_int8(())
 
-    def make_fused(which):
-        @jax.jit
-        def f(images):
-            fms = Q.forward_feature_maps(params, bs, cfg, images,
-                                         act_scales=scales,
-                                         quant_skip=Q.DEFAULT_QUANT_SKIP,
-                                         fused_blocks=which)
-            return decode_detections(fms, cfg.anchors, cfg.number_classes,
-                                     cfg.strides)
-        return f
-
-    mirror_int8_fused = make_fused(True)
-
     S2D_ALL = ("Darknet53_0/ConvBlock_0", "Darknet53_0/ConvBlock_1",
                "Darknet53_0/FeatureBlock_0/ConvBlock_0",
                "Darknet53_0/FeatureBlock_0/ConvBlock_1",
@@ -135,10 +122,6 @@ def main(argv=None):
     bench("int8_pointwise", make_int8(Q.DEFAULT_QUANT_SKIP,
                                       pointwise_pallas=True))
     bench("int8_deep_only", mirror_int8_deep_only)
-    bench("int8_fused", mirror_int8_fused)
-    bench("int8_fused_fb2", make_fused(("Darknet53_0/FeatureBlock_2",)))
-    bench("int8_fused_fb34", make_fused(("Darknet53_0/FeatureBlock_3",
-                                         "Darknet53_0/FeatureBlock_4")))
     # stem1 bf16, stem2 int8 (round 1 only ever measured both together)
     bench("int8_skip_stem1", make_int8(("Darknet53_0/ConvBlock_0",)))
     bench("int8_exit_pallas", make_int8(("Darknet53_0/ConvBlock_0",),
@@ -158,7 +141,6 @@ def main(argv=None):
     # head 1x1 as a flattened-view matmul (XLA-only, no Pallas)
     bench("int8_headmm", make_int8(("Darknet53_0/ConvBlock_0",),
                                    exit_pallas=True, head_matmul=True))
-    bench("int8_fused_fb4", make_fused(("Darknet53_0/FeatureBlock_4",)))
     bench("int8_headdec", make_int8(("Darknet53_0/ConvBlock_0",),
                                     exit_pallas=True, head_decode=True))
     bench("int8_down", make_int8(("Darknet53_0/ConvBlock_0",),
@@ -182,8 +164,7 @@ def main(argv=None):
         import re
         import tempfile
 
-        prof_fn = {"int8_fused": mirror_int8_fused,
-                   "int8_all": mirror_int8_all,
+        prof_fn = {"int8_all": mirror_int8_all,
                    "int8_skip_stem1": make_int8(("Darknet53_0/ConvBlock_0",)),
                    "int8_exit_pallas": make_int8(
                        ("Darknet53_0/ConvBlock_0",), exit_pallas=True),

@@ -111,7 +111,7 @@ class _Ctx:
                  act_scales: Optional[Dict[str, float]] = None,
                  collect: Optional[Dict[str, Array]] = None,
                  quant_skip: Sequence[str] = DEFAULT_QUANT_SKIP,
-                 fused_blocks: bool = False, fused_interpret: bool = False,
+                 fused_interpret: bool = False,
                  collect_reduce: str = "absmax",
                  requant_residual: bool = True,
                  pointwise_pallas: bool = False,
@@ -134,7 +134,6 @@ class _Ctx:
         self.head_matmul = head_matmul
         self.dtype = cfg.dtype
         self.quant_skip = frozenset(quant_skip)
-        self.fused_blocks = fused_blocks
         self.fused_interpret = fused_interpret
         self.collect_reduce = collect_reduce
         self.requant_residual = requant_residual
@@ -438,11 +437,6 @@ def _feature_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
     # kernel gets the dequantized bf16 and re-quantizes — same numbers to
     # 1 LSB, tolerated by its quantization-noise test bound)
     conv_in, inputs = ctx.block_input(f"{name}/ConvBlock_0", x)
-    fused_on = (ctx.fused_blocks is True
-                or (ctx.fused_blocks and name in ctx.fused_blocks))
-    if fused_on and _fusable(ctx, name, p, reps, x.shape):
-        return _feature_block_fused(ctx, name, p, bs, inputs, reps)
-
     names = [(f"{name}/ConvBlock_{2 * r}", f"{name}/ConvBlock_{2 * r + 1}")
              for r in range(reps)]
     pw_all = (all(ctx.pw_eligible(n1, n2, p[n1.split("/")[-1]]
@@ -514,23 +508,6 @@ def _feature_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
     return x
 
 
-def _fusable(ctx: _Ctx, name: str, p: dict, reps: int, xshape) -> bool:
-    """The Pallas kernel serves standard (unblocked-domain) feature blocks
-    whose conv blocks all run int8 (skip-listed blocks fall back) and
-    whose whole per-image activation fits the kernel's VMEM plan."""
-    from yolov3_tpu.ops.pallas.feature_block_kernel import vmem_fits
-
-    if not ctx.int8:
-        return False
-    for r in range(2 * reps):
-        if f"{name}/ConvBlock_{r}" in ctx.quant_skip:
-            return False
-    k1 = p["ConvBlock_0"]["Conv_0"]["kernel"]
-    if not (k1.shape[0] == 1 and k1.shape[2] == 2 * k1.shape[3]):
-        return False
-    return vmem_fits(xshape[1], xshape[2], xshape[3])
-
-
 def _bn_affine(cfg: ModelConfig, p: dict, bs: dict):
     mul = (p["BatchNorm_0"]["scale"].astype(jnp.float32)
            * jax.lax.rsqrt(bs["BatchNorm_0"]["var"].astype(jnp.float32)
@@ -538,52 +515,6 @@ def _bn_affine(cfg: ModelConfig, p: dict, bs: dict):
     add = (p["BatchNorm_0"]["bias"].astype(jnp.float32)
            - bs["BatchNorm_0"]["mean"].astype(jnp.float32) * mul)
     return mul, add
-
-
-def pack_feature_block(cfg: ModelConfig, name: str, p: dict, bs: dict,
-                       act_scales: Dict[str, float], reps: int):
-    """Stack a FeatureBlock's per-rep params into the fused kernel's
-    (w1, w2, ex, e1, e2) arrays (see feature_block_kernel)."""
-    w1s, w2s, exs, e1s, e2s = [], [], [], [], []
-    for r in range(reps):
-        p1, bs1 = p[f"ConvBlock_{2 * r}"], bs[f"ConvBlock_{2 * r}"]
-        p2, bs2 = p[f"ConvBlock_{2 * r + 1}"], bs[f"ConvBlock_{2 * r + 1}"]
-        sx1 = jnp.float32(act_scales[f"{name}/ConvBlock_{2 * r}"])
-        sx2 = jnp.float32(act_scales[f"{name}/ConvBlock_{2 * r + 1}"])
-        w1q, sw1 = _quantize_weight(p1["Conv_0"]["kernel"])
-        w2q, sw2 = _quantize_weight(p2["Conv_0"]["kernel"])
-        c, ch = w1q.shape[2], w1q.shape[3]
-        mul1, add1 = _bn_affine(cfg, p1, bs1)
-        mul2, add2 = _bn_affine(cfg, p2, bs2)
-        w1s.append(w1q.reshape(c, ch))
-        w2s.append(w2q.reshape(9, ch, c))
-        exs.append(jnp.full((1, c), 1.0 / sx1, jnp.float32))
-        e1s.append(jnp.stack([sx1 * sw1,
-                              p1["Conv_0"]["bias"].astype(jnp.float32),
-                              mul1, add1,
-                              jnp.full_like(mul1, 1.0 / sx2)]))
-        e2s.append(jnp.stack([sx2 * sw2,
-                              p2["Conv_0"]["bias"].astype(jnp.float32),
-                              mul2, add2]))
-    return tuple(jnp.stack(v) for v in (w1s, w2s, exs, e1s, e2s))
-
-
-def _feature_block_fused(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
-                         reps: int) -> Array:
-    from yolov3_tpu.ops.pallas.feature_block_kernel import fused_feature_block
-
-    w1, w2, ex, e1, e2 = pack_feature_block(ctx.cfg, name, p, bs,
-                                            ctx.act_scales, reps)
-    with jax.named_scope(f"{name}/fused"):
-        # barrier-pinned boundaries (see the exit-conv kernel): the kernel
-        # pays two explicit relayout copies, but XLA no longer re-lays-out
-        # the neighbouring convs around it
-        xb = jax.lax.optimization_barrier(x.astype(ctx.dtype))
-        out = fused_feature_block(
-            xb, w1, w2, ex, e1, e2, int8=True,
-            alpha=ctx.cfg.leaky_relu_alpha,
-            interpret=ctx.fused_interpret).astype(ctx.dtype)
-        return jax.lax.optimization_barrier(out)
 
 
 def _down_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
@@ -992,7 +923,6 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                          act_scales: Optional[Dict[str, float]] = None,
                          collect: Optional[Dict[str, Array]] = None,
                          quant_skip: Sequence[str] = DEFAULT_QUANT_SKIP,
-                         fused_blocks: bool = False,
                          fused_interpret: bool = False,
                          collect_reduce: str = "absmax",
                          requant_residual: bool = True,
@@ -1008,14 +938,17 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
     """Inference feature maps, mirroring `YoloV3.apply(..., train=False)`.
 
     x is NHWC float32 (already z-scored). Mode per (act_scales, collect);
-    `quant_skip` names conv blocks kept bf16 in int8 mode. `fused_blocks`
-    routes int8 feature blocks through the VMEM-resident Pallas kernel
-    (`ops/pallas/feature_block_kernel.py`). `requant_residual` (int8 mode)
-    takes residual adds from the dequantized int8 block input instead of a
-    live bf16 copy — see `_Ctx.residual_input`.
+    `quant_skip` names conv blocks kept bf16 in int8 mode.
+    `requant_residual` (int8 mode) takes residual adds from the
+    dequantized int8 block input instead of a live bf16 copy — see
+    `_Ctx.residual_input`. (The round-2 fused-FeatureBlock kernel and its
+    `fused_blocks` flag were REMOVED in round 4 after the region fusion
+    landed: its full-model regression was structural — the Pallas-island
+    relayout cascade — and unlike the region kernel it had no
+    kernel/image boundary to pin; DESIGN.md round-2b/round-4.)
     """
     ctx = _Ctx(cfg, act_scales, collect, quant_skip,
-               fused_blocks=fused_blocks, fused_interpret=fused_interpret,
+               fused_interpret=fused_interpret,
                collect_reduce=collect_reduce,
                requant_residual=requant_residual,
                pointwise_pallas=pointwise_pallas,

@@ -27,7 +27,7 @@ Arithmetic mirrors `models/quantized.py` exactly in sequence:
   f   = leaky(acc + b/dq) * (mul*dq) + add   (f32, dq folded)
   out = clip(round(bf16(f)_f32 * inv_next), ±127) s8
 so outputs match the XLA mirror up to .5-quantization-boundary noise
-(same tolerance class as ops/pallas/feature_block_kernel.py).
+(the .5-quantization-boundary tolerance class shared by the int8 kernels).
 """
 
 from __future__ import annotations
