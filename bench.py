@@ -136,12 +136,14 @@ def main() -> None:
     @jax.jit
     def detect_int8(images):
         # round-4 champion: the full S2D-region kernel with the folded
-        # fast epilogue (27.84 vs 28.15 ms b64 exit-kernel champion —
-        # DESIGN.md round-4 ledger); exit_pallas stays as the fallback
-        # when the region kernel is ineligible
+        # fast epilogue (27.84 vs 28.15 ms b64 exit-kernel champion)
+        # plus rep-boundary requantization in the deep blocks (27.75 vs
+        # 28.09, bit-identical — DESIGN.md round-4 ledger); exit_pallas
+        # stays as the fallback when the region kernel is ineligible
         fms = Q.forward_feature_maps(params, batch_stats, cfg, images,
                                      act_scales=scales, exit_pallas=True,
-                                     region_full=True, region_fast=True)
+                                     region_full=True, region_fast=True,
+                                     rep_requant=True)
         return decode_detections(fms, cfg.anchors, cfg.number_classes,
                                  cfg.strides)
 

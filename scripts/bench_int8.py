@@ -69,9 +69,10 @@ def main(argv=None):
     def make_int8(skip, requant_residual=True, pointwise_pallas=False,
                   exit_pallas=False, head_decode=False, down_pallas=False,
                   conv3_pallas=False, head_pad=False, region_pallas=False,
-                  region_full=False, region_fast=False, head_matmul=False):
+                  region_full=False, region_fast=False, head_matmul=False,
+                  rep_requant=False):
         kw = dict(act_scales=scales, quant_skip=skip,
-                  requant_residual=requant_residual,
+                  requant_residual=requant_residual, rep_requant=rep_requant,
                   pointwise_pallas=pointwise_pallas,
                   exit_pallas=exit_pallas, down_pallas=down_pallas,
                   conv3_pallas=conv3_pallas, region_pallas=region_pallas,
@@ -141,6 +142,10 @@ def main(argv=None):
     # head 1x1 as a flattened-view matmul (XLA-only, no Pallas)
     bench("int8_headmm", make_int8(("Darknet53_0/ConvBlock_0",),
                                    exit_pallas=True, head_matmul=True))
+    # rep-boundary requantization in FB2/FB3/FB4 (bit-identical; XLA-only)
+    bench("int8_reprq", make_int8(("Darknet53_0/ConvBlock_0",),
+                                  region_full=True, region_fast=True,
+                                  rep_requant=True))
     bench("int8_headdec", make_int8(("Darknet53_0/ConvBlock_0",),
                                     exit_pallas=True, head_decode=True))
     bench("int8_down", make_int8(("Darknet53_0/ConvBlock_0",),
@@ -178,6 +183,9 @@ def main(argv=None):
                    "int8_regionfast": make_int8(
                        ("Darknet53_0/ConvBlock_0",), region_full=True,
                        region_fast=True),
+                   "int8_reprq": make_int8(
+                       ("Darknet53_0/ConvBlock_0",), region_full=True,
+                       region_fast=True, rep_requant=True),
                    "int8_headpad": make_int8(
                        ("Darknet53_0/ConvBlock_0",), exit_pallas=True,
                        head_pad=True),

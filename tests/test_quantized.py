@@ -65,6 +65,19 @@ class TestHeadPad:
                                               head_matmul=True))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
+    def test_rep_requant_bit_identical(self):
+        """Rep-boundary requantization only MOVES the next 1x1's input
+        quantize into the residual-add fusion (same scale, same values) —
+        the feature maps must be bit-identical, not merely close."""
+        cfg, model, variables, x = make_model(True)
+        p, bs = variables["params"], variables["batch_stats"]
+        scales = Q.calibrate(p, bs, cfg, x)
+        ref = Q.forward_feature_maps(p, bs, cfg, x, act_scales=scales)
+        got = Q.forward_feature_maps(p, bs, cfg, x, act_scales=scales,
+                                     rep_requant=True)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_head_pad_width_fallbacks(self):
         # A=3 does not divide 128 -> no padding
         cfg3 = ModelConfig(img_size=(64, 64, 3), number_classes=2,

@@ -114,6 +114,7 @@ class _Ctx:
                  fused_interpret: bool = False,
                  collect_reduce: str = "absmax",
                  requant_residual: bool = True,
+                 rep_requant: bool = False,
                  pointwise_pallas: bool = False,
                  exit_pallas: bool = False,
                  down_pallas: bool = False,
@@ -137,6 +138,7 @@ class _Ctx:
         self.fused_interpret = fused_interpret
         self.collect_reduce = collect_reduce
         self.requant_residual = requant_residual
+        self.rep_requant = rep_requant
         self.pointwise_pallas = pointwise_pallas
         self.conv3_pallas = conv3_pallas
         self.head_pad = head_pad
@@ -504,7 +506,22 @@ def _feature_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
         y = _conv_block(ctx, f"{name}/ConvBlock_{2 * r + 1}",
                         p[f"ConvBlock_{2 * r + 1}"],
                         bs[f"ConvBlock_{2 * r + 1}"], y)
-        x = inputs + y  # residual adds the block input (reference/model.py:47)
+        # residual adds the block input (reference/model.py:47)
+        nxt = f"{name}/ConvBlock_{2 * r + 2}"
+        if (ctx.rep_requant and r < reps - 1 and ctx.int8
+                and conv_in.dtype == jnp.int8
+                and nxt not in ctx.quant_skip and nxt in ctx.act_scales):
+            # rep-boundary requantization: the chain tensor's ONLY
+            # consumer is the next rep's 1x1, which quantizes it with
+            # exactly this scale anyway — folding that quantize into the
+            # residual-add fusion is BIT-IDENTICAL and stores/reads the
+            # boundary as one s8 tensor instead of bf16 (halves the
+            # FB2/FB3 rep-boundary HBM traffic; the round-2 block-
+            # boundary result one level down)
+            x = _quantize_act(inputs + y,
+                              jnp.float32(ctx.act_scales[nxt]))
+        else:
+            x = inputs + y
     return x
 
 
@@ -926,6 +943,7 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                          fused_interpret: bool = False,
                          collect_reduce: str = "absmax",
                          requant_residual: bool = True,
+                         rep_requant: bool = False,
                          pointwise_pallas: bool = False,
                          exit_pallas: bool = False,
                          down_pallas: bool = False,
@@ -951,6 +969,7 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                fused_interpret=fused_interpret,
                collect_reduce=collect_reduce,
                requant_residual=requant_residual,
+               rep_requant=rep_requant,
                pointwise_pallas=pointwise_pallas,
                exit_pallas=exit_pallas, down_pallas=down_pallas,
                conv3_pallas=conv3_pallas, region_pallas=region_pallas,
@@ -1179,7 +1198,10 @@ def default_serving_kernels() -> Dict[str, bool]:
     ledger): the FULL S2D-region kernel with the folded fast epilogue
     (stem2+pw+3x3+residual+exit in one scratch-carried band pipeline,
     `ops/pallas/s2d_region_kernel.py`) beats the round-3 exit-kernel
-    champion 27.84 vs 28.15 ms. `exit_pallas` stays on as the fallback
+    champion 27.84 vs 28.15 ms, and rep-boundary requantization in the
+    deep blocks (`rep_requant`, bit-identical s8 chain-tensor stores)
+    adds another measured step: 27.75 vs 28.09 ms in the same-session
+    A/B. `exit_pallas` stays on as the fallback
     for configs where the region kernel is ineligible (uncalibrated
     blocks, VMEM overflow, non-s2d stems) — when the region kernel
     engages, the exit-conv path is never reached. Every other staged
@@ -1191,7 +1213,7 @@ def default_serving_kernels() -> Dict[str, bool]:
     """
     if jax.default_backend() == "tpu":
         return {"exit_pallas": True, "region_full": True,
-                "region_fast": True}
+                "region_fast": True, "rep_requant": True}
     return {}
 
 
