@@ -78,7 +78,7 @@ def test_conv3_residual_and_bf16_emit():
 def test_feature_block_c3_chain_matches_mirror():
     """_feature_block with pointwise+conv3 == plain int8 mirror: the
     whole block runs as chained Pallas passes (s8-only HBM traffic)."""
-    from tests.test_pallas_feature_block import make_block
+    from tests.pallas_helpers import make_block
 
     rng = np.random.RandomState(9)
     c, reps, h = 32, 2, 8

@@ -12,7 +12,7 @@ import pytest
 from yolov3_tpu.config import ModelConfig
 from yolov3_tpu.models import quantized as Q
 
-from tests.test_pallas_feature_block import assert_quant_faithful, make_block
+from tests.pallas_helpers import assert_quant_faithful, make_block
 
 CFG = ModelConfig(img_size=(64, 64, 3), number_classes=2)
 
