@@ -101,14 +101,17 @@ def main(argv=None):
 
     only = set(filter(None, args.only.split(",")))
 
-    def bench(name, fn):
+    xb16 = x.astype(jnp.bfloat16)
+
+    def bench(name, fn, inp=None):
         if only and name not in only:
             return
+        inp = x if inp is None else inp
         print(f"compiling {name}...", flush=True)
-        jax.device_get(fn(x)[0, 0, :2])
+        jax.device_get(fn(inp)[0, 0, :2])
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            out = fn(x)
+            out = fn(inp)
         jax.device_get(out[0, 0, :2])
         dt = (time.perf_counter() - t0) / args.iters
         print(f"{name:16s} {dt * 1e3:8.2f} ms  "
@@ -146,6 +149,22 @@ def main(argv=None):
     bench("int8_reprq", make_int8(("Darknet53_0/ConvBlock_0",),
                                   region_full=True, region_fast=True,
                                   rep_requant=True))
+    # champion fed bf16 images: the in-graph f32->bf16 convert of the
+    # input costs 0.27 ms + a 0.39 ms relayout copy (round-4 profile);
+    # the serving pipeline can emit bf16 directly (stem1 runs in bf16
+    # either way — bit-identical)
+    bench("int8_reprq_b16in", make_int8(("Darknet53_0/ConvBlock_0",),
+                                        region_full=True, region_fast=True,
+                                        rep_requant=True), inp=xb16)
+    # round-4 re-sweeps on TOP of the champion config: the round-3 sweep
+    # measured down/conv3 only against the exit_pallas graph
+    bench("int8_reprq_down", make_int8(("Darknet53_0/ConvBlock_0",),
+                                       region_full=True, region_fast=True,
+                                       rep_requant=True, down_pallas=True))
+    bench("int8_reprq_c3", make_int8(("Darknet53_0/ConvBlock_0",),
+                                     region_full=True, region_fast=True,
+                                     rep_requant=True, conv3_pallas=True,
+                                     pointwise_pallas=True))
     bench("int8_headdec", make_int8(("Darknet53_0/ConvBlock_0",),
                                     exit_pallas=True, head_decode=True))
     bench("int8_down", make_int8(("Darknet53_0/ConvBlock_0",),
