@@ -70,14 +70,14 @@ def main(argv=None):
                   exit_pallas=False, head_decode=False, down_pallas=False,
                   conv3_pallas=False, head_pad=False, region_pallas=False,
                   region_full=False, region_fast=False, head_matmul=False,
-                  rep_requant=False):
+                  rep_requant=False, region_affine2=False):
         kw = dict(act_scales=scales, quant_skip=skip,
                   requant_residual=requant_residual, rep_requant=rep_requant,
                   pointwise_pallas=pointwise_pallas,
                   exit_pallas=exit_pallas, down_pallas=down_pallas,
                   conv3_pallas=conv3_pallas, region_pallas=region_pallas,
                   region_full=region_full, region_fast=region_fast,
-                  head_matmul=head_matmul)
+                  region_affine2=region_affine2, head_matmul=head_matmul)
 
         @jax.jit
         def f(images):
@@ -149,6 +149,11 @@ def main(argv=None):
     bench("int8_reprq", make_int8(("Darknet53_0/ConvBlock_0",),
                                   region_full=True, region_fast=True,
                                   rep_requant=True))
+    # champion with the 2-affine region epilogue (two FMAs + max replace
+    # the add/leaky/scale chain in the stem2/pw/fb0 stages)
+    bench("int8_reprq_a2", make_int8(("Darknet53_0/ConvBlock_0",),
+                                     region_full=True, rep_requant=True,
+                                     region_affine2=True))
     # champion fed bf16 images: the in-graph f32->bf16 convert of the
     # input costs 0.27 ms + a 0.39 ms relayout copy (round-4 profile);
     # the serving pipeline can emit bf16 directly (stem1 runs in bf16

@@ -103,6 +103,55 @@ def test_fast_epilogue_close_to_exact():
     assert (d > 0).mean() <= 0.25, (d > 0).mean()
 
 
+def test_affine2_close_to_exact():
+    """The 2-affine epilogue (max of two FMA'd affines, negative-mul
+    channels sign-compensated through the consuming weights) is the same
+    divergence class as the fast mode: <=2 codes on rounding
+    boundaries."""
+    cfg, params, batch_stats = make_model()
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    scales = Q.calibrate(params, batch_stats, cfg, x)
+    exact = Q._s2d_region(
+        Q._Ctx(cfg, act_scales=scales, region_full=True,
+               fused_interpret=True), params, batch_stats, x)
+    a2 = Q._s2d_region(
+        Q._Ctx(cfg, act_scales=scales, region_full=True,
+               region_affine2=True, fused_interpret=True),
+        params, batch_stats, x)
+    assert exact.dtype == jnp.int8 and a2.dtype == jnp.int8
+    d = np.abs(np.asarray(exact, np.int32) - np.asarray(a2, np.int32))
+    assert d.max() <= 2, d.max()
+    assert (d > 0).mean() <= 0.25, (d > 0).mean()
+
+
+def test_affine2_negative_mul_channels():
+    """Negative BN scales flip the leaky max into a min; the packing
+    negates those channels' coefficients and compensates in the consuming
+    weights' input channels (+ the residual row). Force negatives in all
+    three 2-affine stages and check against the plain mirror."""
+    cfg, params, batch_stats = make_model()
+    d = params["Darknet53_0"]
+    for blk in (d["ConvBlock_1"], d["FeatureBlock_0"]["ConvBlock_0"],
+                d["FeatureBlock_0"]["ConvBlock_1"]):
+        sc = blk["BatchNorm_0"]["scale"]
+        flip = (jnp.arange(sc.shape[0]) % 3 == 0)
+        blk["BatchNorm_0"]["scale"] = jnp.where(flip, -sc, sc)
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    scales = Q.calibrate(params, batch_stats, cfg, x)
+    ref = Q._s2d_region(
+        Q._Ctx(cfg, act_scales=scales, region_full=True,
+               fused_interpret=True), params, batch_stats, x)
+    a2 = Q._s2d_region(
+        Q._Ctx(cfg, act_scales=scales, region_full=True,
+               region_affine2=True, fused_interpret=True),
+        params, batch_stats, x)
+    dd = np.abs(np.asarray(ref, np.int32) - np.asarray(a2, np.int32))
+    assert dd.max() <= 2, dd.max()
+    assert (dd > 0).mean() <= 0.25, (dd > 0).mean()
+
+
 def test_full_model_region_fast():
     """End-to-end fast-mode consistency against the plain int8 mirror."""
     cfg, params, batch_stats = make_model()

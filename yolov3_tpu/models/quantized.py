@@ -122,6 +122,7 @@ class _Ctx:
                  region_pallas: bool = False,
                  region_full: bool = False,
                  region_fast: bool = False,
+                 region_affine2: bool = False,
                  head_matmul: bool = False,
                  head_pad: bool = False):
         self.cfg = cfg
@@ -132,6 +133,7 @@ class _Ctx:
         self.region_pallas = region_pallas
         self.region_full = region_full
         self.region_fast = region_fast
+        self.region_affine2 = region_affine2
         self.head_matmul = head_matmul
         self.dtype = cfg.dtype
         self.quant_skip = frozenset(quant_skip)
@@ -782,24 +784,62 @@ def _s2d_region_fused(ctx: _Ctx, p: dict, bs: dict, conv_in: Array) -> Array:
         return jnp.zeros((c,), jnp.float32).at[:v.shape[0]].set(v)
 
     fast = ctx.region_fast
-    if fast:
-        # pre-fold each stage's requant 1/s into its affine (the kernel's
-        # fast epilogue skips the separate inv multiply and the bf16
-        # roundtrips; see s2d_region_block_q docstring)
-        m1, a1 = m1 / s3, a1 / s3
-        mf, af = mf / s4, af / s4
-        res_row = jnp.full((c,), s2 / s4)
-        m3, a3 = m3 / s5, a3 / s5
-        m2s, a2s = m2s / s2, a2s / s2
+    affine2 = ctx.region_affine2
+    if affine2:
+        # 2-affine fast epilogue: mul*leaky(acc+b)+add == max of two
+        # affines of acc when mul >= 0; negative-mul channels pack
+        # negated coefficients (the stage then emits -q, which round-
+        # nearest-even and the symmetric clip commute with) and the
+        # CONSUMING weights' input channels flip to compensate — all
+        # pack-time, bit-equivalent up to rounding-boundary flips.
+        alpha = jnp.float32(ctx.cfg.leaky_relu_alpha)
+
+        def quad(b, mm, a, s_out):
+            g1 = mm / s_out
+            k1 = g1 * b + a / s_out
+            g2 = alpha * g1
+            k2 = g2 * b + a / s_out
+            sgn = jnp.where(g1 >= 0, jnp.float32(1), jnp.float32(-1))
+            return g1 * sgn, k1 * sgn, g2 * sgn, k2 * sgn, sgn
+
+        s2_m1, s2_c1, s2_m2, s2_c2, sgn2 = quad(b2s, m2s, a2s, s2)
+        pw_m1, pw_c1, pw_m2, pw_c2, sgnp = quad(b1, m1, a1, s3)
+        fb_m1, fb_c1, fb_m2, fb_c2, sgnf = quad(bf, mf, af, s4)
+        res_row = jnp.full((c,), s2 / s4) * sgn2 * sgnf
+
+        def flip(wq, sgn):
+            # negate the input channels fed by a sign-flipped stage
+            # (s8 weights are clipped to +/-127: negation is lossless)
+            return jnp.where((sgn < 0)[None, None, :, None], -wq, wq)
+
+        wq1 = flip(wq1, sgn2)
+        wqf = flip(wqf, sgnp)
+        wq3 = flip(wq3, sgnf)
+        epi = jnp.stack([
+            pad(pw_m1), pad(pw_c1), pad(pw_m2), pad(pw_c2),
+            fb_m1, fb_c1, fb_m2, fb_c2, res_row,
+            pad(b3), pad(m3 / s5), pad(a3 / s5), jnp.zeros((c,)),
+            s2_m1, s2_c1, s2_m2, s2_c2,
+        ])
     else:
-        res_row = jnp.full((c,), s2)
-    epi = jnp.stack([
-        pad(b1), pad(m1), pad(a1), pad(jnp.full((cm,), 1.0 / s3)),
-        pad(bf), pad(mf), pad(af), res_row,
-        jnp.full((c,), 1.0 / s4),
-        pad(b3), pad(m3), pad(a3), pad(jnp.full((co,), 1.0 / s5)),
-        pad(b2s), pad(m2s), pad(a2s), jnp.full((c,), 1.0 / s2),
-    ])
+        if fast:
+            # pre-fold each stage's requant 1/s into its affine (the
+            # kernel's fast epilogue skips the separate inv multiply and
+            # the bf16 roundtrips; see s2d_region_block_q docstring)
+            m1, a1 = m1 / s3, a1 / s3
+            mf, af = mf / s4, af / s4
+            res_row = jnp.full((c,), s2 / s4)
+            m3, a3 = m3 / s5, a3 / s5
+            m2s, a2s = m2s / s2, a2s / s2
+        else:
+            res_row = jnp.full((c,), s2)
+        epi = jnp.stack([
+            pad(b1), pad(m1), pad(a1), pad(jnp.full((cm,), 1.0 / s3)),
+            pad(bf), pad(mf), pad(af), res_row,
+            jnp.full((c,), 1.0 / s4),
+            pad(b3), pad(m3), pad(a3), pad(jnp.full((co,), 1.0 / s5)),
+            pad(b2s), pad(m2s), pad(a2s), jnp.full((c,), 1.0 / s2),
+        ])
     with jax.named_scope(f"{d}/s2d_region_pallas"):
         # barrier-pinned boundaries, same rationale as the exit kernel
         xb = jax.lax.optimization_barrier(conv_in)
@@ -808,7 +848,7 @@ def _s2d_region_fused(ctx: _Ctx, p: dict, bs: dict, conv_in: Array) -> Array:
             wqf.reshape(9, cm, c), wq3.reshape(4, c, co), epi,
             alpha=ctx.cfg.leaky_relu_alpha,
             cast_bf16=(ctx.dtype == jnp.bfloat16), fast=fast,
-            interpret=ctx.fused_interpret)
+            affine2=affine2, interpret=ctx.fused_interpret)
         return jax.lax.optimization_barrier(out)
 
 
@@ -951,6 +991,7 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                          region_pallas: bool = False,
                          region_full: bool = False,
                          region_fast: bool = False,
+                         region_affine2: bool = False,
                          head_matmul: bool = False,
                          ) -> Tuple[Array, Array, Array]:
     """Inference feature maps, mirroring `YoloV3.apply(..., train=False)`.
@@ -974,7 +1015,7 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                exit_pallas=exit_pallas, down_pallas=down_pallas,
                conv3_pallas=conv3_pallas, region_pallas=region_pallas,
                region_full=region_full, region_fast=region_fast,
-               head_matmul=head_matmul)
+               region_affine2=region_affine2, head_matmul=head_matmul)
     return tuple(_apply_head(ctx, params, nm, h)
                  for nm, h in _forward_necks(ctx, params, batch_stats, x))
 

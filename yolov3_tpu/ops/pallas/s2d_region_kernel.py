@@ -92,7 +92,7 @@ def vmem_fits(h: int, w: int, b: int, c1: int, c: int, cm: int,
 def _kernel(xpro_ref, xa_ref, xb_ref, xh_ref, w2_ref, wpw_ref, wfb_ref,
             wex_ref, epi_ref, out_ref, q2s, q3s, q4s, *, ro: int, h: int,
             w: int, bt: int, c1: int, c: int, cm: int, co: int,
-            alpha: float, cast_bf16: bool, fast: bool):
+            alpha: float, cast_bf16: bool, fast: bool, affine2: bool):
     jh = pl.program_id(1)
     r0 = jh * ro
     m = w * bt
@@ -103,13 +103,26 @@ def _kernel(xpro_ref, xa_ref, xb_ref, xh_ref, w2_ref, wpw_ref, wfb_ref,
         requant 1/s into mul/add, LeakyReLU becomes max(y, alpha*y)
         (EXACT for 0<alpha<1), and the mirror's bf16 roundtrip is dropped
         — ~1/3 fewer VPU ops per element, <=2 s8-code divergence."""
-        if fast:
+        if fast or affine2:
             y = acc.astype(jnp.float32) + b
             y = jnp.maximum(y, alpha * y)
             return jnp.clip(jnp.round(y * mul + add),
                             -127.0, 127.0).astype(jnp.int8)
         y = _epilogue(acc, b, mul, add, alpha, cast_bf16)
         return _quant(y, inv)
+
+    def stage_q2(acc, m1, c1_, m2, c2_):
+        """2-affine fast epilogue: mul*leaky(acc+b)+add collapses to
+        max(acc*m1+c1, acc*m2+c2) — two FMAs + a max instead of the
+        add/leaky/scale chain. Valid as a MAX only for mul >= 0 channels;
+        the packing multiplies negative-mul channels' coefficients by -1
+        (making the stage emit -q) and compensates by flipping the
+        consuming weights' input channels (round-nearest-even and the
+        symmetric clip commute with negation), so the kernel output is
+        unchanged up to rounding-boundary flips."""
+        af = acc.astype(jnp.float32)
+        y = jnp.maximum(af * m1 + c1_, af * m2 + c2_)
+        return jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
 
     def stem2_row(rows3, g_out):
         """q2 row `g_out` from its three 256-dom input rows (already
@@ -128,15 +141,24 @@ def _kernel(xpro_ref, xa_ref, xb_ref, xh_ref, w2_ref, wpw_ref, wfb_ref,
                     tap.reshape(m, c1), w2_ref[u * 3 + vv], _MM,
                     preferred_element_type=jnp.int32)
                 acc = part if acc is None else acc + part
-        q = stage_q(acc, epi_ref[13, :c], epi_ref[14, :c],
-                    epi_ref[15, :c], epi_ref[16, :c]).reshape(w, bt, c)
+        if affine2:
+            q = stage_q2(acc, epi_ref[13, :c], epi_ref[14, :c],
+                         epi_ref[15, :c], epi_ref[16, :c]).reshape(w, bt, c)
+        else:
+            q = stage_q(acc, epi_ref[13, :c], epi_ref[14, :c],
+                        epi_ref[15, :c], epi_ref[16, :c]).reshape(w, bt, c)
         return jnp.where(g_out <= h - 1, q, jnp.zeros_like(q))
 
     def pw_row(q2k, g_out):
         acc = jax.lax.dot_general(q2k.reshape(m, c), wpw_ref[...], _MM,
                                   preferred_element_type=jnp.int32)
-        q = stage_q(acc, epi_ref[0, :cm], epi_ref[1, :cm],
-                    epi_ref[2, :cm], epi_ref[3, :cm]).reshape(w, bt, cm)
+        if affine2:
+            q = stage_q2(acc, epi_ref[0, :cm], epi_ref[1, :cm],
+                         epi_ref[2, :cm],
+                         epi_ref[3, :cm]).reshape(w, bt, cm)
+        else:
+            q = stage_q(acc, epi_ref[0, :cm], epi_ref[1, :cm],
+                        epi_ref[2, :cm], epi_ref[3, :cm]).reshape(w, bt, cm)
         # a zero q2 row does NOT give a zero q3 row (bias); re-mask so
         # off-image rows are FB0's zero padding
         return jnp.where(g_out <= h - 1, q, jnp.zeros_like(q))
@@ -153,6 +175,17 @@ def _kernel(xpro_ref, xa_ref, xb_ref, xh_ref, w2_ref, wpw_ref, wfb_ref,
                     tap.reshape(m, cm), wfb_ref[u * 3 + vv], _MM,
                     preferred_element_type=jnp.int32)
                 acc = part if acc is None else acc + part
+        if affine2:
+            # 2-affine form with the (sign-compensated) residual row at
+            # epi[8]: y = max(acc*m1+c1, acc*m2+c2) + q2*r
+            af = acc.astype(jnp.float32)
+            y = (jnp.maximum(af * epi_ref[4, :c] + epi_ref[5, :c],
+                             af * epi_ref[6, :c] + epi_ref[7, :c])
+                 + q2_res.reshape(m, c).astype(jnp.float32)
+                 * epi_ref[8, :c])
+            q = jnp.clip(jnp.round(y), -127.0,
+                         127.0).astype(jnp.int8).reshape(w, bt, c)
+            return jnp.where(g_out <= h - 1, q, jnp.zeros_like(q))
         if fast:
             # residual folded into the same affine: q4 = clip(round(
             #   affine(acc)*(mul/s4) + add/s4 + q2*(s2/s4) ))
@@ -231,12 +264,12 @@ def _kernel(xpro_ref, xa_ref, xb_ref, xh_ref, w2_ref, wpw_ref, wfb_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("alpha", "cast_bf16", "fast",
-                                    "interpret"))
+                                    "affine2", "interpret"))
 def s2d_region_block_q(xq: jnp.ndarray, w_s2: jnp.ndarray,
                        w_pw: jnp.ndarray, w_fb0: jnp.ndarray,
                        w_exit: jnp.ndarray, epi: jnp.ndarray, *,
                        alpha: float = 0.1, cast_bf16: bool = True,
-                       fast: bool = False,
+                       fast: bool = False, affine2: bool = False,
                        interpret: bool = False) -> jnp.ndarray:
     """s8 [N,2H,2W,c1] (stem1 out) -> s8 [N,H,W,Co] (FeatureBlock_1 in).
 
@@ -255,6 +288,16 @@ def s2d_region_block_q(xq: jnp.ndarray, w_s2: jnp.ndarray,
     (exact), and the mirror's intermediate bf16 casts are dropped —
     ~1/3 fewer VPU ops per element at <=2 s8-code divergence from the
     exact mode.
+
+    `affine2`: the stem2/pw/fb0 epilogues collapse further to
+    max(acc*m1+c1, acc*m2+c2) (two FMAs + max); the caller packs
+      0-3   pw:    m1, c1, m2, c2          (m1=M/s, c1=m1*B+A/s, m2=alpha*m1,
+      4-8   fb0:   m1, c1, m2, c2, r       c2=m2*B+A/s, each row *sign(M);
+      13-16 stem2: m1, c1, m2, c2           negative-M channels compensated
+                                            by flipping consumer-weight
+                                            input channels + the r row)
+    and the exit stage (whose consumer is outside the kernel) keeps the
+    `fast` rows 9-11. Same <=2-code divergence class as `fast`.
     """
     n, h2, w2, c1 = xq.shape
     h, w = h2 // 2, w2 // 2
@@ -271,7 +314,7 @@ def s2d_region_block_q(xq: jnp.ndarray, w_s2: jnp.ndarray,
     out = pl.pallas_call(
         functools.partial(_kernel, ro=ro, h=h, w=w, bt=bt, c1=c1, c=c,
                           cm=cm, co=co, alpha=alpha, cast_bf16=cast_bf16,
-                          fast=fast),
+                          fast=fast, affine2=affine2),
         grid=(n // bt, nhb),
         in_specs=[
             # prologue rows 0..4: constant block index -> fetched only
