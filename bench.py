@@ -173,6 +173,21 @@ def main() -> None:
     emit("serving_int8_images_per_sec_512x512_b64_incl_nms",
          64 / dt, "images/sec/chip")
 
+    # raw-pixels serving: the WHOLE reference pipeline (per-image z-score
+    # + forward + decode + clip + small-box filter + NMS,
+    # reference/inference.py:44-79 — which the reference runs on the HOST
+    # around a SavedModel call) as ONE device program fed uint8 pixels
+    from yolov3_tpu.data.device_pipeline import zscore_images
+
+    @jax.jit
+    def serve_int8_u8(raw):
+        return serve_int8(zscore_images(raw))
+
+    u8 = jnp.asarray(rng.randint(0, 255, (64, 512, 512, 3)).astype(np.uint8))
+    dt = time_fn(serve_int8_u8, u8, 20, lambda o: o[0][0, 0, 0, :2])
+    emit("serving_int8_from_uint8_images_per_sec_512x512_b64",
+         64 / dt, "images/sec/chip")
+
     dt = time_fn(detect_int8, x64, 20, lambda o: o[0, 0, :2])
     emit("inference_int8_images_per_sec_512x512_b64",
          64 / dt, "images/sec/chip")

@@ -39,6 +39,24 @@ class TestZscore:
         out = np.asarray(zscore_image(img))
         np.testing.assert_allclose(out, 0.0, atol=1e-6)
 
+    def test_batched_matches_vmap(self, rng):
+        """zscore_images is the batched-reduction lowering of
+        vmap(zscore_image) and accepts raw integer pixels (converts on
+        device). Bit-identical on TPU (scripts/bench_zscore.py measured
+        max|d|=0); the CPU backend reduces in a different order, so the
+        test allows float32-ulp slack."""
+        from yolov3_tpu.data.device_pipeline import zscore_images
+        u8 = rng.randint(0, 255, (4, 16, 16, 3)).astype(np.uint8)
+        want = np.asarray(jax.vmap(zscore_image)(u8.astype(np.float32)))
+        got = np.asarray(zscore_images(jnp.asarray(u8)))
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+        # f32 input too (train pipeline call site)
+        f32 = rng.rand(4, 16, 16, 3).astype(np.float32) * 200
+        np.testing.assert_allclose(
+            np.asarray(zscore_images(jnp.asarray(f32))),
+            np.asarray(jax.vmap(zscore_image)(jnp.asarray(f32))),
+            rtol=0, atol=1e-6)
+
 
 class TestAffineBoxes:
     @pytest.mark.parametrize("reflect_x,reflect_y", [(False, False),

@@ -147,6 +147,23 @@ class TestInferenceCli:
         assert kept.max() <= 128.0 + 1e-5
         assert kept.max() > 64.0 + 1e-5
 
+    def test_int8_serving_raw_pixels_matches(self, exported_model, rng):
+        """raw_pixels=True folds the per-image z-score into the serving
+        program: uint8 pixels in == z-score-then-serve, same detections."""
+        from yolov3_tpu.data.device_pipeline import zscore_images
+        from yolov3_tpu.models.quantized import make_quantized_serving_fn
+        path, _ = exported_model
+        calib = rng.rand(2, 64, 64, 3).astype(np.float32)
+        u8 = rng.randint(0, 255, (2, 64, 64, 3)).astype(np.uint8)
+        serve, _, _ = make_quantized_serving_fn(path, calib, min_box_size=1)
+        serve_raw, _, _ = make_quantized_serving_fn(path, calib,
+                                                    min_box_size=1,
+                                                    raw_pixels=True)
+        want = serve(zscore_images(u8))
+        got = serve_raw(u8)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
     def test_bf16_serving_clips_to_actual_image_size(self, exported_model,
                                                      rng):
         """bf16 twin of the int8 test: the fused serving program clips to

@@ -120,6 +120,17 @@ def zscore_image(img: Array) -> Array:
     return jnp.where(std <= 1.0, img - mean, (img - mean) / std)
 
 
+def zscore_images(images: Array) -> Array:
+    """Batched zscore_image via axis reductions: bit-identical output,
+    1.33 -> 1.07 ms at b64 512^2 u8 (scripts/bench_zscore.py — XLA fuses
+    the batched axis-reduce better than the vmapped scalar reduce).
+    Accepts raw integer pixels (converts on device)."""
+    x = images.astype(jnp.float32)
+    mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
+    std = jnp.sqrt(jnp.mean((x - mean) ** 2, axis=(1, 2, 3), keepdims=True))
+    return jnp.where(std <= 1.0, x - mean, (x - mean) / std)
+
+
 # ---------------------------------------------------------------------------
 # boxes
 # ---------------------------------------------------------------------------
@@ -336,7 +347,7 @@ def preprocess_batch(images: Array, boxes: Array, valid: Array, key: Array,
         images, boxes, valid = jax.vmap(
             lambda i, bx, v, k: _augment_one(i, bx, v, k, cfg))(
                 images, boxes, valid, keys)
-    images = jax.vmap(zscore_image)(images)
+    images = zscore_images(images)  # == vmap(zscore_image), faster lowering
     labels = jax.vmap(
         lambda bx, v: encode_labels_device(bx, v, image_size, anchors,
                                            number_classes))(boxes, valid)

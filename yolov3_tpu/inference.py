@@ -25,7 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from yolov3_tpu.config import InferenceConfig
-from yolov3_tpu.data.device_pipeline import zscore_image
 from yolov3_tpu.data.imaging import ensure_hwc, imread
 from yolov3_tpu.models.yolo import YoloV3Detector
 from yolov3_tpu.ops import boxes as bbox
@@ -38,7 +37,8 @@ def zscore_batch(images: jnp.ndarray) -> jnp.ndarray:
     """Per-image z-score on device (single-core hosts are too slow for
     whole-image statistics over megapixel batches). Accepts raw integer
     pixels so the host->device transfer moves uint8/uint16, not float32."""
-    return jax.vmap(zscore_image)(images.astype(jnp.float32))
+    from yolov3_tpu.data.device_pipeline import zscore_images
+    return zscore_images(images)
 
 
 def make_detector_fn(saved_model_filepath: str, num_devices: int = 1):

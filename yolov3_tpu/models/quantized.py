@@ -1292,7 +1292,8 @@ def make_quantized_serving_fn(saved_model_filepath: str,
                               min_box_size: Optional[int] = None,
                               calib_percentile: Optional[float] = None,
                               head_decode_pallas: bool = False,
-                              kernels: Optional[Dict[str, bool]] = None):
+                              kernels: Optional[Dict[str, bool]] = None,
+                              raw_pixels: bool = False):
     """int8 twin of `inference.make_serving_fn`: ONE jitted program from
     z-scored images to (boxes, scores, keep) — int8 backbone/neck convs,
     bf16 heads, f32 decode, device NMS.
@@ -1300,6 +1301,10 @@ def make_quantized_serving_fn(saved_model_filepath: str,
     `calib_images`: a representative (z-scored, NHWC f32) batch for
     activation-scale calibration. `kernels`: Pallas-kernel flag overrides
     (default: the measured winners, `default_serving_kernels`).
+    `raw_pixels`: serve() takes RAW integer pixels and folds the
+    per-image z-score into the same program — the whole reference
+    pipeline (normalize + forward + decode + clip + filter + NMS,
+    reference/inference.py:44-79) as one device program.
     """
     from yolov3_tpu.ops.nms import batched_nms_device
     from yolov3_tpu.utils import checkpoint as ckpt
@@ -1320,6 +1325,9 @@ def make_quantized_serving_fn(saved_model_filepath: str,
         # image sizes other than the export size (matches the bf16 CLI's
         # host-side clip, reference/inference.py:62-65 fixed)
         img_h, img_w = images.shape[1], images.shape[2]
+        if raw_pixels:
+            from yolov3_tpu.data.device_pipeline import zscore_images
+            images = zscore_images(images)
         det = forward_detections(params, batch_stats, cfg, images,
                                  act_scales=scales,
                                  head_decode_pallas=hd, **kw)
