@@ -1327,7 +1327,13 @@ def make_quantized_serving_fn(saved_model_filepath: str,
         img_h, img_w = images.shape[1], images.shape[2]
         if raw_pixels:
             from yolov3_tpu.data.device_pipeline import zscore_images
-            images = zscore_images(images)
+            # emit bf16 straight out of the z-score fusion: the model
+            # casts images to bf16 for the stem anyway (f32-zscore-then-
+            # round is identical either way), and skipping the separate
+            # f32->bf16 convert + relayout at the stem boundary measured
+            # +0.11 ms b64 (scripts/bench_raw_serving.py, DESIGN.md
+            # round-4 input-boundary note)
+            images = zscore_images(images).astype(jnp.bfloat16)
         det = forward_detections(params, batch_stats, cfg, images,
                                  act_scales=scales,
                                  head_decode_pallas=hd, **kw)
