@@ -10,7 +10,8 @@ import pytest
 from yolov3_tpu.ops import boxes as bbox
 from yolov3_tpu.ops.nms import nms_to_host, per_class_nms_device
 from yolov3_tpu.ops.pallas.nms_kernel import (greedy_suppress_pallas,
-                                              suppress_boxes_pallas)
+                                              suppress_boxes_pallas,
+                                              suppress_boxes_pallas_t)
 
 from tests.test_nms_device import random_detections
 
@@ -121,3 +122,55 @@ class TestSuppressBoxes:
         keep = np.asarray(suppress_boxes_pallas(cand, valid, iou - 1e-4,
                                                 interpret=True))
         assert keep.tolist() == [[True, False]]
+
+
+class TestSuppressBoxesTransposed:
+    """The transposed ("planes") kernel: identical contract and identical
+    IoU arithmetic as `suppress_boxes_pallas`, so keep masks must match
+    the row-layout kernel BIT-FOR-BIT on any input."""
+
+    @pytest.mark.parametrize("seed,c,k,unroll", [(0, 3, 64, 4),
+                                                 (1, 7, 128, 4),
+                                                 (2, 130, 64, 2),
+                                                 (3, 1, 32, 1)])
+    def test_matches_row_layout_kernel(self, seed, c, k, unroll):
+        rng = np.random.RandomState(seed)
+        xy = rng.rand(c, k, 2).astype(np.float32) * 100
+        wh = rng.rand(c, k, 2).astype(np.float32) * 40 + 1
+        cand = np.concatenate([xy, xy + wh], axis=-1)
+        counts = rng.randint(0, k + 1, c)
+        valid = (np.arange(k)[None, :] < counts[:, None])
+        got = np.asarray(suppress_boxes_pallas_t(cand, valid, 0.3,
+                                                 interpret=True,
+                                                 unroll=unroll))
+        want = np.asarray(suppress_boxes_pallas(cand, valid, 0.3,
+                                                interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+    def test_threshold_tie_survives(self):
+        cand = np.array([[[0, 0, 10, 10], [0, 5, 10, 15]]], np.float32)
+        valid = np.ones((1, 2), bool)
+        iou = 50.0 / 150.0
+        keep = np.asarray(suppress_boxes_pallas_t(cand, valid, iou,
+                                                  interpret=True))
+        assert keep.tolist() == [[True, True]]
+        keep = np.asarray(suppress_boxes_pallas_t(cand, valid, iou - 1e-4,
+                                                  interpret=True))
+        assert keep.tolist() == [[True, False]]
+
+    def test_gap_validity_pattern(self):
+        cand = np.array([[[0, 0, 10, 10],
+                          [0, 0, 10, 10],
+                          [20, 20, 30, 30],
+                          [50, 50, 60, 60]]], dtype=np.float32)
+        valid = np.array([[True, False, True, False]])
+        got = np.asarray(suppress_boxes_pallas_t(cand, valid, 0.5,
+                                                 interpret=True))
+        assert got.tolist() == [[True, False, True, False]]
+
+    def test_all_invalid_keeps_nothing(self):
+        cand = np.zeros((2, 8, 4), np.float32)
+        valid = np.zeros((2, 8), bool)
+        got = np.asarray(suppress_boxes_pallas_t(cand, valid, 0.3,
+                                                 interpret=True))
+        assert not got.any()

@@ -89,10 +89,12 @@ def per_class_nms_device(boxes: Array, objectness: Array, class_probs: Array,
         use_pallas = on_tpu
     if use_pallas:
         # IoU is computed inside the kernel: the [C,K,K] matrix never
-        # materializes in HBM
-        from yolov3_tpu.ops.pallas.nms_kernel import suppress_boxes_pallas
-        keep = suppress_boxes_pallas(cand, valid, iou_threshold,
-                                     interpret=not on_tpu)
+        # materializes in HBM. Transposed ("planes") kernel: 2.63 ->
+        # 1.68 ms dense NMS program at b64 vs the row-layout kernel,
+        # bit-equal (scripts/bench_nms_kernel_t.py, DESIGN.md round 4)
+        from yolov3_tpu.ops.pallas.nms_kernel import suppress_boxes_pallas_t
+        keep = suppress_boxes_pallas_t(cand, valid, iou_threshold,
+                                       interpret=not on_tpu, unroll=1)
     else:
         ious = jax.vmap(pairwise_iou)(cand)          # [C,K,K]
         keep = jax.vmap(
@@ -146,23 +148,29 @@ def batched_nms_device(detections: Array, num_classes: int,
     top_scores, top_idx = jax.lax.top_k(masked, k)           # [B*C, K]
     top_scores = top_scores.reshape(b, c, k)
     top_idx = top_idx.reshape(b, c, k)
-    # row gather, NOT take_along_axis over a transposed [B, 4, N] view:
-    # the transposed variant looked lane-friendlier on paper but XLA
-    # lowered it to a flat scalarized gather (3.1 ms vs this form's 0.45
-    # measured in the serving graph)
-    cand = jax.vmap(jax.vmap(lambda bx, i: bx[i], in_axes=(None, 0)))(
-        boxes, top_idx)                                      # [B, C, K, 4]
+    # ONE flat row gather with globalized indices, NOT take_along_axis
+    # over a transposed [B, 4, N] view (XLA scalarizes that to 3.1 ms)
+    # and NOT a nested-vmap per-(b,c) row gather (0.45 ms): the single
+    # [B*C*K]-row gather over boxes.reshape(B*N, 4) measured 2.665 vs
+    # 3.107 ms for the whole NMS program (scripts/bench_nms_gather.py,
+    # dense b64, bit-equal outputs)
+    n = boxes.shape[1]
+    gidx = top_idx + (jnp.arange(b, dtype=top_idx.dtype) * n)[:, None, None]
+    cand = boxes.reshape(b * n, 4)[gidx.reshape(-1)].reshape(
+        b, c, k, 4)                                          # [B, C, K, 4]
     valid = top_scores >= score_threshold
 
     if use_pallas:
         # all batch x class problems in one launch; IoU computed in-kernel
         # from the boxes (the [B,C,K,K] slab — 134 MB at batch 64 — never
-        # exists in HBM)
-        from yolov3_tpu.ops.pallas.nms_kernel import suppress_boxes_pallas
-        keep = suppress_boxes_pallas(
+        # exists in HBM). Transposed ("planes") kernel, unroll=1: 2.63 ->
+        # 1.68 ms dense NMS program at b64 vs the row-layout kernel,
+        # bit-equal (scripts/bench_nms_kernel_t.py, DESIGN.md round 4)
+        from yolov3_tpu.ops.pallas.nms_kernel import suppress_boxes_pallas_t
+        keep = suppress_boxes_pallas_t(
             cand.reshape(b * num_classes, k, 4),
             valid.reshape(b * num_classes, k),
-            iou_threshold, interpret=not on_tpu)
+            iou_threshold, interpret=not on_tpu, unroll=1)
         keep = keep.reshape(b, num_classes, k)
     else:
         ious = jax.vmap(jax.vmap(pairwise_iou))(cand)    # [B, C, K, K]

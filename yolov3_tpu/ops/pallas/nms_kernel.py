@@ -100,6 +100,111 @@ def _suppress_kernel(coords_ref, valid_ref, keep_ref, *,
         jnp.zeros((c, k), jnp.float32)).reshape(c, 1, k)
 
 
+def _suppress_kernel_t(coords_ref, valid_ref, keep_ref, *,
+                       iou_threshold: float, unroll: int):
+    """Transposed ("planes") variant of one chunk: coords [4,K,C] f32
+    (l/t/r/b planes with candidate rank K on SUBLANES, classes C on
+    lanes), valid [K,C] f32 -> keep [K,C] f32.
+
+    Box i's scalars come out as ONE dynamic sublane slice per plane
+    (`coords_ref[p, pl.ds(i, 1), :]` — Mosaic allows dynamic indexing at
+    sublane granularity) instead of the row-layout kernel's five one-hot
+    lane-select+reduce `pick`s, and the per-step suppression reduction
+    runs over SUBLANES (a ~66-op vreg tree at K=512) instead of lanes
+    (~160 ops). The loop is VPU-issue-bound, so the per-step op count is
+    the wall clock. `keep_ref` (the output block) doubles as the
+    recurrence state: row i's decision is stored with a dynamic sublane
+    write and re-read by later steps' conflict tests.
+    """
+    _, k, c = valid_ref.shape
+    l = coords_ref[0]                                         # [K, C]
+    t = coords_ref[1]
+    r = coords_ref[2]
+    b = coords_ref[3]
+    area = (r - l) * (b - t)                                  # [K, C]
+    valid_rows = valid_ref[...].reshape(k, c)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, c), 0)
+    bound = jnp.max(jnp.where(valid_rows > 0.0, row_ids + 1, 0))
+
+    keep_ref[...] = jnp.zeros((1, k, c), jnp.float32)
+
+    def body(i, _):
+        li = coords_ref[0, pl.ds(i, 1), :]                    # [1, C]
+        ti = coords_ref[1, pl.ds(i, 1), :]
+        ri = coords_ref[2, pl.ds(i, 1), :]
+        bi = coords_ref[3, pl.ds(i, 1), :]
+        ai = (ri - li) * (bi - ti)
+        # IoU(box i, all boxes), op-for-op as ops/nms.py::pairwise_iou;
+        # [1, C] rows broadcast over sublanes for free
+        iw = jnp.maximum(jnp.minimum(r, ri) - jnp.maximum(l, li), 0.0)
+        ih = jnp.maximum(jnp.minimum(b, bi) - jnp.maximum(t, ti), 0.0)
+        inter = iw * ih
+        iou = inter / (area + ai - inter)
+        keep = keep_ref[...].reshape(k, c)
+        # keep[j] for j >= i is still 0 at step i, so "kept & conflicting"
+        # alone reproduces the j < i restriction
+        conflict = jnp.where(iou > iou_threshold, keep, 0.0)
+        suppressed = jnp.max(conflict, axis=0, keepdims=True)  # [1, C]
+        valid_i = valid_ref[0, pl.ds(i, 1), :]
+        keep_i = jnp.where(suppressed > 0.0, 0.0, valid_i)
+        keep_ref[0, pl.ds(i, 1), :] = keep_i
+        return 0
+
+    def group(s, carry):
+        i0 = s * unroll
+        for u in range(unroll):
+            carry = body(i0 + u, carry)
+        return carry
+
+    jax.lax.fori_loop(0, (bound + unroll - 1) // unroll, group, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iou_threshold", "interpret", "unroll"))
+def suppress_boxes_pallas_t(cand: jnp.ndarray, valid: jnp.ndarray,
+                            iou_threshold: float,
+                            interpret: bool = False,
+                            unroll: int = 4) -> jnp.ndarray:
+    """Transposed-layout twin of `suppress_boxes_pallas` (same contract:
+    cand [C, K, 4] score-sorted ltrb, valid [C, K] -> keep [C, K] bool).
+
+    Classes ride the LANE dim and candidate rank the SUBLANE dim, so the
+    sequential loop extracts box i with dynamic sublane slices instead of
+    one-hot lane reductions. Chunks of up to 128 classes (one lane tile)
+    run per grid cell.
+    """
+    c, k, _ = cand.shape
+    coords = jnp.transpose(cand.astype(jnp.float32), (2, 1, 0))  # [4, K, C]
+    chunk = min(c, 128)
+    pad = (-c) % chunk
+    if pad:
+        coords = jnp.concatenate(
+            [coords, jnp.zeros((4, k, pad), coords.dtype)], axis=-1)
+        valid = jnp.concatenate(
+            [valid, jnp.zeros((pad, k), valid.dtype)], axis=0)
+    total = c + pad
+    valid_t = jnp.transpose(valid.astype(jnp.float32), (1, 0)).reshape(
+        1, k, total)
+
+    kernel = functools.partial(_suppress_kernel_t,
+                               iou_threshold=iou_threshold, unroll=unroll)
+    keep = pl.pallas_call(
+        kernel,
+        grid=(total // chunk,),
+        in_specs=[
+            pl.BlockSpec((4, k, chunk), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, chunk), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k, chunk), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, k, total), jnp.float32),
+        interpret=interpret,
+    )(coords, valid_t)
+    return jnp.transpose(keep.reshape(k, total), (1, 0))[:c] > 0.0
+
+
 @functools.partial(jax.jit,
                    static_argnames=("iou_threshold", "interpret", "unroll"))
 def suppress_boxes_pallas(cand: jnp.ndarray, valid: jnp.ndarray,
