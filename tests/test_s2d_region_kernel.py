@@ -200,6 +200,95 @@ def test_fallback_when_uncalibrated():
     assert out.dtype != jnp.int8
 
 
+def rawin_pair(img=64, b=2, seed=0, dtype="float32", fast=False,
+               budget=None, monkeypatch=None):
+    """(rawin-kernel s8 region output, s8-input-kernel output) with an
+    engagement assertion: the rawin call must actually route (the s8
+    fallback would be trivially bit-equal)."""
+    import yolov3_tpu.ops.pallas.s2d_region_kernel as K
+
+    cfg, params, batch_stats = make_model(img, dtype)
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(b, img, img, 3).astype(np.float32))
+    scales = Q.calibrate(params, batch_stats, cfg, x)
+
+    if budget is not None and monkeypatch is not None:
+        monkeypatch.setattr(K, "_VMEM_BUDGET", budget)
+    ref = Q._s2d_region(
+        Q._Ctx(cfg, act_scales=scales, region_full=True, region_fast=fast,
+               fused_interpret=True), params, batch_stats, x)
+
+    seen = []
+    orig = Q._s2d_region_fused
+
+    def spy(ctx, p, bs, conv_in, rawin=False):
+        seen.append((rawin, conv_in.dtype))
+        return orig(ctx, p, bs, conv_in, rawin=rawin)
+
+    Q._s2d_region_fused = spy
+    try:
+        got = Q._s2d_region(
+            Q._Ctx(cfg, act_scales=scales, region_full=True,
+                   region_rawin=True, region_fast=fast,
+                   fused_interpret=True), params, batch_stats, x)
+    finally:
+        Q._s2d_region_fused = orig
+    assert seen and seen[0][0], "rawin path fell back to the s8 kernel"
+    assert seen[0][1] != jnp.int8
+    assert got.dtype == jnp.int8 and ref.dtype == jnp.int8
+    return got, ref
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_rawin_bit_identical(dtype):
+    """The rawin kernel (stem1's raw bf16/f32 output quantized in-VMEM)
+    must be BIT-identical to the s8-input kernel: the in-kernel quantize
+    replicates _quantize_act's exact op sequence and every later stage is
+    unchanged."""
+    got, ref = rawin_pair(dtype=dtype)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_rawin_multiband_and_batch_tiles():
+    """Several row bands (the extra carry-init band 0 + the shifted out
+    blocks) and two batch tiles (carry re-init at the second tile)."""
+    got, ref = rawin_pair(img=128, b=16, seed=7)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_rawin_fast_epilogue():
+    got, ref = rawin_pair(seed=2, fast=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_rawin_ro2_plan(monkeypatch):
+    """The shipping 512px shape plans ro=2; force the ro=2 band geometry
+    (band-0 halo row carries input row 4) on the toy shape."""
+    got, ref = rawin_pair(img=128, seed=5, budget=2 * 1024 * 1024,
+                          monkeypatch=monkeypatch)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_full_model_region_rawin():
+    """forward_feature_maps with region_rawin == plain int8 mirror on a
+    small end-to-end model."""
+    cfg, params, batch_stats = make_model()
+    rng = np.random.RandomState(17)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    scales = Q.calibrate(params, batch_stats, cfg, x)
+    ref = Q.forward_feature_maps(params, batch_stats, cfg, x,
+                                 act_scales=scales)
+    got = Q.forward_feature_maps(params, batch_stats, cfg, x,
+                                 act_scales=scales, region_full=True,
+                                 region_rawin=True, region_fast=True,
+                                 fused_interpret=True)
+    for a, b in zip(got, ref):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        d = np.abs(a - b)
+        assert d.max() <= 0.15 * b.std() + 1e-6, (d.max(), b.std())
+
+
 def test_full_model_region_full():
     """forward_feature_maps with region_full == plain int8 mirror on a
     small end-to-end model (downstream blocks consume the s8 handoff)."""

@@ -123,6 +123,7 @@ class _Ctx:
                  region_full: bool = False,
                  region_fast: bool = False,
                  region_affine2: bool = False,
+                 region_rawin: bool = False,
                  head_matmul: bool = False,
                  head_pad: bool = False):
         self.cfg = cfg
@@ -134,6 +135,7 @@ class _Ctx:
         self.region_full = region_full
         self.region_fast = region_fast
         self.region_affine2 = region_affine2
+        self.region_rawin = region_rawin
         self.head_matmul = head_matmul
         self.dtype = cfg.dtype
         self.quant_skip = frozenset(quant_skip)
@@ -718,10 +720,12 @@ def _s2d_tail(ctx: _Ctx, p: dict, bs: dict, conv_in: Array) -> Array:
         return jax.lax.optimization_barrier(out)
 
 
-def _region_full_eligible(ctx: _Ctx, p: dict, conv_in: Array) -> bool:
+def _region_full_eligible(ctx: _Ctx, p: dict, conv_in: Array,
+                          rawin: bool = False) -> bool:
     """The full-region kernel needs all five conv blocks int8-calibrated
-    (it consumes stem1's pre-quantized s8 output and emits
-    FeatureBlock_1's entry) and the band plan within its VMEM budget."""
+    (it consumes stem1's pre-quantized s8 output — or, with `rawin`, its
+    raw bf16 output, quantizing in-VMEM — and emits FeatureBlock_1's
+    entry) and the band plan within its VMEM budget."""
     from yolov3_tpu.ops.pallas.s2d_region_kernel import vmem_fits
 
     d = "Darknet53_0"
@@ -738,13 +742,16 @@ def _region_full_eligible(ctx: _Ctx, p: dict, conv_in: Array) -> bool:
         "kernel"].shape[3]
     c = 4 * p[d]["ConvBlock_1"]["Conv_0"]["kernel"].shape[3]
     co = p[d]["ConvBlock_2"]["Conv_0"]["kernel"].shape[3]
-    return vmem_fits(h2 // 2, w2 // 2, n, c1, c, cm, co)
+    return vmem_fits(h2 // 2, w2 // 2, n, c1, c, cm, co, rawin)
 
 
-def _s2d_region_fused(ctx: _Ctx, p: dict, bs: dict, conv_in: Array) -> Array:
+def _s2d_region_fused(ctx: _Ctx, p: dict, bs: dict, conv_in: Array,
+                      rawin: bool = False) -> Array:
     """Pack the full region's lifted kernels + folded epilogues and run
     the fused band pipeline. conv_in: stem1's pre-quantized s8 output
-    (scale s1 = ConvBlock_1's activation scale)."""
+    (scale s1 = ConvBlock_1's activation scale) — or, with `rawin`, its
+    RAW bf16/f32 output; the kernel then quantizes in-VMEM (epi row 17 =
+    1/s1) and the s8 stem1 boundary never exists in HBM."""
     from yolov3_tpu.ops.pallas.s2d_region_kernel import s2d_region_block_q
 
     d = "Darknet53_0"
@@ -840,6 +847,11 @@ def _s2d_region_fused(ctx: _Ctx, p: dict, bs: dict, conv_in: Array) -> Array:
             pad(b3), pad(m3), pad(a3), pad(jnp.full((co,), 1.0 / s5)),
             pad(b2s), pad(m2s), pad(a2s), jnp.full((c,), 1.0 / s2),
         ])
+    if rawin:
+        # row 17 = the in-VMEM input quantize's reciprocal (the same f32
+        # division _quantize_act performs, so codes stay bit-identical)
+        epi = jnp.concatenate(
+            [epi, jnp.full((1, c), jnp.float32(1.0) / s1)], axis=0)
     with jax.named_scope(f"{d}/s2d_region_pallas"):
         # barrier-pinned boundaries, same rationale as the exit kernel
         xb = jax.lax.optimization_barrier(conv_in)
@@ -848,7 +860,7 @@ def _s2d_region_fused(ctx: _Ctx, p: dict, bs: dict, conv_in: Array) -> Array:
             wqf.reshape(9, cm, c), wq3.reshape(4, c, co), epi,
             alpha=ctx.cfg.leaky_relu_alpha,
             cast_bf16=(ctx.dtype == jnp.bfloat16), fast=fast,
-            affine2=affine2, interpret=ctx.fused_interpret)
+            affine2=affine2, rawin=rawin, interpret=ctx.fused_interpret)
         return jax.lax.optimization_barrier(out)
 
 
@@ -860,6 +872,13 @@ def _s2d_region(ctx: _Ctx, p: dict, bs: dict, x: Array) -> Array:
     y = _conv_block(ctx, f"{d}/ConvBlock_0", p[d]["ConvBlock_0"],
                     bs[d]["ConvBlock_0"], x, stride=2, kernel_override=k4,
                     padding=((1, 2), (1, 2)), out_tile=4)
+    if ctx.region_full and ctx.region_rawin:
+        if (y.dtype != jnp.int8
+                and _region_full_eligible(ctx, p, y, rawin=True)):
+            # the kernel consumes stem1's RAW bf16 output and quantizes
+            # in-VMEM: the s8 stem1 boundary (537 MB write + 1.07 GB
+            # read at b64/512px) never exists in HBM
+            return _s2d_region_fused(ctx, p, bs, y, rawin=True)
     if ctx.region_full:
         conv_in1, _ = ctx.block_input(f"{d}/ConvBlock_1", y)
         if (conv_in1.dtype == jnp.int8
@@ -992,6 +1011,7 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                          region_full: bool = False,
                          region_fast: bool = False,
                          region_affine2: bool = False,
+                         region_rawin: bool = False,
                          head_matmul: bool = False,
                          ) -> Tuple[Array, Array, Array]:
     """Inference feature maps, mirroring `YoloV3.apply(..., train=False)`.
@@ -1015,7 +1035,8 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                exit_pallas=exit_pallas, down_pallas=down_pallas,
                conv3_pallas=conv3_pallas, region_pallas=region_pallas,
                region_full=region_full, region_fast=region_fast,
-               region_affine2=region_affine2, head_matmul=head_matmul)
+               region_affine2=region_affine2, region_rawin=region_rawin,
+               head_matmul=head_matmul)
     return tuple(_apply_head(ctx, params, nm, h)
                  for nm, h in _forward_necks(ctx, params, batch_stats, x))
 

@@ -55,46 +55,58 @@ _VMEM_BUDGET = 13 * 1024 * 1024
 
 
 def _estimate(ro: int, w: int, bt: int, c1: int, c: int, cm: int,
-              co: int) -> int:
+              co: int, rawin: bool = False) -> int:
     """Peak VMEM bytes for one band (ro output rows)."""
-    irow = 2 * w * bt * c1            # one 256-dom input row, s8
+    ib = 2 if rawin else 1            # bf16 input rows in rawin mode
+    irow = 2 * w * bt * c1 * ib       # one 256-dom input row
     row = w * bt
     return (2 * 2 * ro * irow         # xA + xB blocks (dblbuf)
             + 2 * irow                # overlap halo row (dblbuf)
-            + 2 * 5 * irow            # prologue block (dblbuf)
+            # rawin replaces the dedicated 5-row prologue block with an
+            # extra carry-init band riding the regular window refs
+            + (0 if rawin else 2 * 5 * irow)
             + 2 * ro * row * co       # out (dblbuf)
             + row * c + 2 * row * cm + row * c   # scratch carries
             + (ro + 2) * row * cm     # band-live q3 rows
             + 3 * row * c * 4         # per-row s32/f32 chains
             + row * cm * 4
-            + 9 * c1 * c + cm * c + 9 * cm * c + 4 * c * co + 17 * c * 4)
+            + 9 * c1 * c + cm * c + 9 * cm * c + 4 * c * co + 18 * c * 4)
 
 
-def _plan(h: int, w: int, b: int, c1: int, c: int, cm: int, co: int):
+def _plan(h: int, w: int, b: int, c1: int, c: int, cm: int, co: int,
+          rawin: bool = False):
     bt = 8 if b % 8 == 0 else b
     # the x-window start 2*r0+4 must be ro-block aligned -> ro in {4, 2};
     # the prologue needs 5 input rows -> 2h >= 5
     for ro in (4, 2):
         if h % ro == 0 and h > ro and _estimate(
-                ro, w, bt, c1, c, cm, co) <= _VMEM_BUDGET:
+                ro, w, bt, c1, c, cm, co, rawin) <= _VMEM_BUDGET:
             return ro, bt
     return 0, 0
 
 
 def vmem_fits(h: int, w: int, b: int, c1: int, c: int, cm: int,
-              co: int) -> bool:
+              co: int, rawin: bool = False) -> bool:
     if h < 4 or w < 2:
         return False
-    ro, bt = _plan(h, w, b, c1, c, cm, co)
+    ro, bt = _plan(h, w, b, c1, c, cm, co, rawin)
     return ro > 0
 
 
-def _kernel(xpro_ref, xa_ref, xb_ref, xh_ref, w2_ref, wpw_ref, wfb_ref,
-            wex_ref, epi_ref, out_ref, q2s, q3s, q4s, *, ro: int, h: int,
-            w: int, bt: int, c1: int, c: int, cm: int, co: int,
-            alpha: float, cast_bf16: bool, fast: bool, affine2: bool):
+def _kernel(*refs, ro: int, h: int, w: int, bt: int, c1: int, c: int,
+            cm: int, co: int, alpha: float, cast_bf16: bool, fast: bool,
+            affine2: bool, rawin: bool):
+    if rawin:
+        xpro_ref = None
+        (xa_ref, xb_ref, xh_ref, w2_ref, wpw_ref, wfb_ref, wex_ref,
+         epi_ref, out_ref, q2s, q3s, q4s) = refs
+    else:
+        (xpro_ref, xa_ref, xb_ref, xh_ref, w2_ref, wpw_ref, wfb_ref,
+         wex_ref, epi_ref, out_ref, q2s, q3s, q4s) = refs
     jh = pl.program_id(1)
-    r0 = jh * ro
+    # rawin: band 0 is a pure carry-init pass (no dedicated prologue
+    # block); out rows for band jh start at (jh-1)*ro
+    r0 = (jh - 1) * ro if rawin else jh * ro
     m = w * bt
     h2 = 2 * h
 
@@ -223,11 +235,34 @@ def _kernel(xpro_ref, xa_ref, xb_ref, xh_ref, w2_ref, wpw_ref, wfb_ref,
                              epi_ref[11, :co],
                              epi_ref[12, :co]).reshape(w, bt, co)
 
+    def x_row(off):
+        """256-dom input row at window offset `off` (global 2*r0+4+off;
+        rawin band 0: offset == global row)."""
+        if off < ro:
+            row = xa_ref[off]
+        elif off < 2 * ro:
+            row = xb_ref[off - ro]
+        else:
+            row = xh_ref[0]
+        if rawin:
+            # quantize stem1's bf16 row in-VMEM: the exact
+            # models/quantized.py::_quantize_act op sequence (f32 multiply
+            # by the reciprocal, round, clip) so the s8 codes are
+            # bit-identical to the XLA mirror's block_input quantize
+            row = jnp.clip(jnp.round(row.astype(jnp.float32)
+                                     * epi_ref[17, 0]),
+                           -127.0, 127.0).astype(jnp.int8)
+        return row
+
     @pl.when(jh == 0)
     def _prologue():
-        # carry-init for out row r0=0: q2 row 1, q3 rows 0..1, q4 row 0
-        q2_0 = stem2_row([xpro_ref[u] for u in range(3)], 0)
-        q2_1 = stem2_row([xpro_ref[u] for u in range(2, 5)], 1)
+        # carry-init for out row 0: q2 row 1, q3 rows 0..1, q4 row 0.
+        # rawin: rows 0..4 arrive through the regular window refs (band 0
+        # is carry-init only; its out block is overwritten by band 1)
+        pro = x_row if rawin else (lambda u: xpro_ref[u])
+        rows5 = [pro(u) for u in range(5)]
+        q2_0 = stem2_row(rows5[0:3], 0)
+        q2_1 = stem2_row(rows5[2:5], 1)
         q3_0 = pw_row(q2_0, 0)
         q3_1 = pw_row(q2_1, 1)
         zrow = jnp.zeros((w, bt, cm), jnp.int8)   # q3[-1]: FB0's top pad
@@ -236,40 +271,42 @@ def _kernel(xpro_ref, xa_ref, xb_ref, xh_ref, w2_ref, wpw_ref, wfb_ref,
         q3s[1] = q3_1
         q4s[0] = fb0_row([zrow, q3_0, q3_1], q2_0, 0)
 
-    def x_row(off):
-        """256-dom input row at window offset `off` (global 2*r0+4+off)."""
-        if off < ro:
-            return xa_ref[off]
-        if off < 2 * ro:
-            return xb_ref[off - ro]
-        return xh_ref[0]
+    def _body():
+        # band body: out rows r = r0 + j; each step computes q2/q3 row
+        # r+2, q4 row r+1, and the exit conv for row r
+        q2_prev = q2s[0]            # q2 row r0+1
+        q3_a, q3_b = q3s[0], q3s[1]  # q3 rows r0, r0+1
+        q4_a = q4s[0]               # q4 row r0
+        x_hi = None                 # offset 2j+2 == next j's offset 2j
+        for j in range(ro):
+            g = r0 + j + 2
+            x_lo = x_row(2 * j) if x_hi is None else x_hi
+            x_hi = x_row(2 * j + 2)
+            q2_new = stem2_row([x_lo, x_row(2 * j + 1), x_hi], g)
+            q3_new = pw_row(q2_new, g)
+            q4_new = fb0_row([q3_a, q3_b, q3_new], q2_prev, r0 + j + 1)
+            exit_row(j, q4_a, q4_new)
+            q2_prev, q3_a, q3_b, q4_a = q2_new, q3_b, q3_new, q4_new
+        q2s[0] = q2_prev
+        q3s[0] = q3_a
+        q3s[1] = q3_b
+        q4s[0] = q4_a
 
-    # band body: out rows r = r0 + j; each step computes q2/q3 row r+2,
-    # q4 row r+1, and the exit conv for row r
-    q2_prev = q2s[0]            # q2 row r0+1
-    q3_a, q3_b = q3s[0], q3s[1]  # q3 rows r0, r0+1
-    q4_a = q4s[0]               # q4 row r0
-    for j in range(ro):
-        g = r0 + j + 2
-        q2_new = stem2_row([x_row(2 * j + u) for u in range(3)], g)
-        q3_new = pw_row(q2_new, g)
-        q4_new = fb0_row([q3_a, q3_b, q3_new], q2_prev, r0 + j + 1)
-        exit_row(j, q4_a, q4_new)
-        q2_prev, q3_a, q3_b, q4_a = q2_new, q3_b, q3_new, q4_new
-    q2s[0] = q2_prev
-    q3s[0] = q3_a
-    q3s[1] = q3_b
-    q4s[0] = q4_a
+    if rawin:
+        pl.when(jh != 0)(_body)
+    else:
+        _body()
 
 
 @functools.partial(jax.jit,
                    static_argnames=("alpha", "cast_bf16", "fast",
-                                    "affine2", "interpret"))
+                                    "affine2", "rawin", "interpret"))
 def s2d_region_block_q(xq: jnp.ndarray, w_s2: jnp.ndarray,
                        w_pw: jnp.ndarray, w_fb0: jnp.ndarray,
                        w_exit: jnp.ndarray, epi: jnp.ndarray, *,
                        alpha: float = 0.1, cast_bf16: bool = True,
                        fast: bool = False, affine2: bool = False,
+                       rawin: bool = False,
                        interpret: bool = False) -> jnp.ndarray:
     """s8 [N,2H,2W,c1] (stem1 out) -> s8 [N,H,W,Co] (FeatureBlock_1 in).
 
@@ -298,25 +335,71 @@ def s2d_region_block_q(xq: jnp.ndarray, w_s2: jnp.ndarray,
                                             input channels + the r row)
     and the exit stage (whose consumer is outside the kernel) keeps the
     `fast` rows 9-11. Same <=2-code divergence class as `fast`.
+
+    `rawin`: xq is stem1's RAW bf16/f32 output (NOT pre-quantized); the
+    kernel quantizes each fetched row in-VMEM with epi row 17 (= 1/s1,
+    `_quantize_act`'s exact op sequence, so the s8 codes are
+    bit-identical to the XLA mirror's block_input quantize). The s8
+    stem1 boundary then never exists in HBM: the separate quantize
+    fusion's 1.07 GB read + 537 MB write at b64/512px disappear against
+    the kernel's doubled (bf16) input-row bytes. To keep the bands in
+    VMEM the dedicated 5-row prologue block is replaced by an extra
+    carry-init band 0 riding the regular window refs (its out block is
+    overwritten by band 1 before the flush).
     """
     n, h2, w2, c1 = xq.shape
     h, w = h2 // 2, w2 // 2
     c = w_s2.shape[-1]
     cm = w_pw.shape[-1]
     co = w_exit.shape[-1]
-    ro, bt = _plan(h, w, n, c1, c, cm, co)
+    ro, bt = _plan(h, w, n, c1, c, cm, co, rawin)
     nhb = h // ro
-    lead = 4 // ro  # x-window start 2*ro*jh+4 in ro-row block units
+    lead = 4 // ro  # x-window start 2*r0+4 in ro-row block units
 
     xt = jnp.transpose(xq, (1, 2, 0, 3))  # bitcast on conv layouts
     nb2 = h2 // ro  # number of ro-row blocks in the 256-dom
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, ro=ro, h=h, w=w, bt=bt, c1=c1, c=c,
-                          cm=cm, co=co, alpha=alpha, cast_bf16=cast_bf16,
-                          fast=fast, affine2=affine2),
-        grid=(n // bt, nhb),
-        in_specs=[
+    weight_specs = [
+        pl.BlockSpec(w_s2.shape, lambda ib, jh: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(w_pw.shape, lambda ib, jh: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(w_fb0.shape, lambda ib, jh: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(w_exit.shape, lambda ib, jh: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(epi.shape, lambda ib, jh: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if rawin:
+        # band jh >= 1 computes out rows r0 = (jh-1)*ro from window rows
+        # [2*r0+4, 2*r0+2*ro+4]; band 0 is carry-init from rows 0..4,
+        # riding the same refs (xa = block 0, xb = block 1, halo = row 4)
+        in_specs = [
+            pl.BlockSpec((ro, w2, bt, c1),
+                         lambda ib, jh: (jnp.clip(2 * jh - 2 + lead, 0,
+                                                  nb2 - 1), 0, ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ro, w2, bt, c1),
+                         lambda ib, jh: (jnp.minimum(
+                             jnp.maximum(2 * jh - 2 + lead, 0) + 1,
+                             nb2 - 1), 0, ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w2, bt, c1),
+                         lambda ib, jh: (jnp.minimum(2 * ro * jh + 4,
+                                                     h2 - 1), 0, ib, 0),
+                         memory_space=pltpu.VMEM),
+        ] + weight_specs
+        grid = (n // bt, nhb + 1)
+        # band 0 writes nothing real; its block (index 0) is revisited
+        # and fully overwritten by band 1 before the flush
+        out_spec = pl.BlockSpec((ro, w, bt, co),
+                                lambda ib, jh: (jnp.maximum(jh - 1, 0),
+                                                0, ib, 0),
+                                memory_space=pltpu.VMEM)
+        inputs = (xt, xt, xt)
+    else:
+        in_specs = [
             # prologue rows 0..4: constant block index -> fetched only
             # when a new batch tile starts
             pl.BlockSpec((5, w2, bt, c1), lambda ib, jh: (0, 0, ib, 0),
@@ -336,20 +419,20 @@ def s2d_region_block_q(xq: jnp.ndarray, w_s2: jnp.ndarray,
                          lambda ib, jh: (jnp.minimum(
                              2 * ro * (jh + 1) + 4, h2 - 1), 0, ib, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(w_s2.shape, lambda ib, jh: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(w_pw.shape, lambda ib, jh: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(w_fb0.shape, lambda ib, jh: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(w_exit.shape, lambda ib, jh: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(epi.shape, lambda ib, jh: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((ro, w, bt, co),
-                               lambda ib, jh: (jh, 0, ib, 0),
-                               memory_space=pltpu.VMEM),
+        ] + weight_specs
+        grid = (n // bt, nhb)
+        out_spec = pl.BlockSpec((ro, w, bt, co),
+                                lambda ib, jh: (jh, 0, ib, 0),
+                                memory_space=pltpu.VMEM)
+        inputs = (xt, xt, xt, xt)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, ro=ro, h=h, w=w, bt=bt, c1=c1, c=c,
+                          cm=cm, co=co, alpha=alpha, cast_bf16=cast_bf16,
+                          fast=fast, affine2=affine2, rawin=rawin),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((h, w, n, co), jnp.int8),
         scratch_shapes=[
             pltpu.VMEM((1, w, bt, c), jnp.int8),    # q2 carry
@@ -357,5 +440,5 @@ def s2d_region_block_q(xq: jnp.ndarray, w_s2: jnp.ndarray,
             pltpu.VMEM((1, w, bt, c), jnp.int8),    # q4 carry
         ],
         interpret=interpret,
-    )(xt, xt, xt, xt, w_s2, w_pw, w_fb0, w_exit, epi.astype(jnp.float32))
+    )(*inputs, w_s2, w_pw, w_fb0, w_exit, epi.astype(jnp.float32))
     return jnp.transpose(out, (2, 0, 1, 3))
