@@ -98,7 +98,7 @@ def test_overfit_toy_dataset_reaches_high_map(tmp_path, rng, mode):
         from yolov3_tpu.models import quantized as Q
         scales = Q.calibrate(jax.device_get(st.params),
                              jax.device_get(st.batch_stats), cfg,
-                             tbatch[0])
+                             tbatch[0], train_mode=True)
         return st.replace(quant_scales=Q.scales_to_collection(
             scales, st.quant_scales))
 

@@ -125,10 +125,12 @@ class _Ctx:
                  region_affine2: bool = False,
                  region_rawin: bool = False,
                  head_matmul: bool = False,
-                 head_pad: bool = False):
+                 head_pad: bool = False,
+                 bn_batch_stats: bool = False):
         self.cfg = cfg
         self.act_scales = act_scales
         self.collect = collect
+        self.bn_batch_stats = bn_batch_stats
         self.exit_pallas = exit_pallas
         self.down_pallas = down_pallas
         self.region_pallas = region_pallas
@@ -265,6 +267,39 @@ def _epilogue(ctx: _Ctx, p: dict, bs: dict, y: Array,
     b = p["Conv_0"]["bias"].astype(jnp.float32)
     scale = p["BatchNorm_0"]["scale"].astype(jnp.float32)
     offset = p["BatchNorm_0"]["bias"].astype(jnp.float32)
+    if ctx.bn_batch_stats:
+        # QAT calibration mode: normalize with THIS batch's statistics —
+        # what the train-mode forward actually sees. BN running averages
+        # can be arbitrarily stale mid-training (momentum 0.99, and the
+        # QAT train forward feeds them quantized activations while this
+        # mirror runs f32): the per-layer mis-normalization compounds
+        # multiplicatively through the backbone, and the round-4
+        # int8_static overfit gate NaN'd on a 1.6e19 calibrated scale at
+        # its step-250 recalibration. Batch statistics are
+        # self-stabilizing — every layer output is re-centered no matter
+        # how the conv outputs drift.
+        if dq is not None:
+            raise ValueError("bn_batch_stats is a calibration (f32 path) "
+                             "mode; the int8 dq commute is not supported")
+        if out_tile > 1:
+            b = jnp.tile(b, out_tile)
+            scale = jnp.tile(scale, out_tile)
+            offset = jnp.tile(offset, out_tile)
+        y = y + b
+        y = jnp.where(y >= 0, y, cfg.leaky_relu_alpha * y)
+        if out_tile > 1:
+            # S2D lifted view: the out_tile channel groups are the
+            # spatial phases of ONE true output channel — pooling the
+            # stats over (N, H, W, phase) reproduces the standard-layout
+            # batch statistics exactly
+            g = y.reshape(y.shape[:-1] + (out_tile, y.shape[-1] // out_tile))
+            mean = jnp.tile(jnp.mean(g, (0, 1, 2, 3)), out_tile)
+            var = jnp.tile(jnp.var(g, (0, 1, 2, 3)), out_tile)
+        else:
+            mean = jnp.mean(y, (0, 1, 2))
+            var = jnp.var(y, (0, 1, 2))
+        mul = jax.lax.rsqrt(var + cfg.bn_epsilon) * scale
+        return (y * mul + (offset - mean * mul)).astype(ctx.dtype)
     mean = bs["BatchNorm_0"]["mean"].astype(jnp.float32)
     var = bs["BatchNorm_0"]["var"].astype(jnp.float32)
     if out_tile > 1:
@@ -1013,6 +1048,7 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                          region_affine2: bool = False,
                          region_rawin: bool = False,
                          head_matmul: bool = False,
+                         bn_batch_stats: bool = False,
                          ) -> Tuple[Array, Array, Array]:
     """Inference feature maps, mirroring `YoloV3.apply(..., train=False)`.
 
@@ -1036,7 +1072,7 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                conv3_pallas=conv3_pallas, region_pallas=region_pallas,
                region_full=region_full, region_fast=region_fast,
                region_affine2=region_affine2, region_rawin=region_rawin,
-               head_matmul=head_matmul)
+               head_matmul=head_matmul, bn_batch_stats=bn_batch_stats)
     return tuple(_apply_head(ctx, params, nm, h)
                  for nm, h in _forward_necks(ctx, params, batch_stats, x))
 
@@ -1156,56 +1192,28 @@ def forward_detections(params: dict, batch_stats: dict, cfg: ModelConfig,
                        x: Array,
                        act_scales: Optional[Dict[str, float]] = None,
                        quant_skip: Sequence[str] = DEFAULT_QUANT_SKIP,
-                       head_decode_pallas: bool = False,
                        fused_interpret: bool = False,
                        **fm_kwargs) -> Array:
     """Feature maps -> decoded detections [B, num_boxes, 4+1+C] in one
-    call. With `head_decode_pallas`, each scale's head conv + box decode
-    runs as one Pallas pass (`ops/pallas/head_decode_kernel`), bypassing
-    the XLA head conv's 14-lane layout trap and the decode-adjacent
-    fusions. Default OFF: the round-3 full-model A/B measured it a
-    0.42 ms REGRESSION at the b64 operating point (29.11 vs 28.69 ms
-    with the exit kernel alone, DESIGN.md round-3 sweep) — the
-    attribution's per-op estimate did not survive whole-graph fusion.
-    Otherwise identical to `decode_detections(forward_feature_maps(...))`.
-    """
-    from yolov3_tpu.ops.pallas.head_decode_kernel import (head_decode,
-                                                          vmem_fits)
-
+    call; identical to `decode_detections(forward_feature_maps(...))`.
+    (A fused head-conv+decode Pallas kernel lived here through round 4
+    behind `head_decode_pallas`; it lost its full-model A/B twice —
+    round-3 sweep 29.11 vs 28.69 ms b64 — and was DELETED in round 5
+    once the packed decode covered its original motivation. DESIGN.md
+    round-3/round-5 ledgers keep the measured record.)"""
     ctx = _Ctx(cfg, act_scales, None, quant_skip,
                fused_interpret=fused_interpret, **fm_kwargs)
     necks = _forward_necks(ctx, params, batch_stats, x)
-    anchors = tuple(tuple(float(v) for v in a) for a in cfg.anchors)
-    ad = len(anchors) * (5 + cfg.number_classes)
-    use_kernel = head_decode_pallas and all(
-        vmem_fits(h.shape[1], h.shape[2], h.shape[0], h.shape[3], ad,
-                  2 if ctx.dtype == jnp.bfloat16 else 4)
-        for _, h in necks)
-    if not use_kernel:
-        fms = [_apply_head(ctx, params, nm, h) for nm, h in necks]
-        dp = head_pad_width(cfg) if ctx.head_pad else 0
-        return decode_detections(fms, cfg.anchors, cfg.number_classes,
-                                 cfg.strides, anchor_pad=dp)
-    parts = []
-    for (nm, h), stride in zip(necks, cfg.strides):
-        w = params[nm]["Conv_0"]["kernel"]
-        b = params[nm]["Conv_0"]["bias"]
-        with jax.named_scope(f"{nm}/head_decode"):
-            # barrier-pinned boundaries, same rationale as _pw_block
-            hb = jax.lax.optimization_barrier(h.astype(ctx.dtype))
-            det = head_decode(
-                hb, w.reshape(w.shape[2], w.shape[3]), b,
-                anchors=anchors, number_classes=cfg.number_classes,
-                stride=int(stride),
-                cast_bf16=(ctx.dtype == jnp.bfloat16),
-                interpret=ctx.fused_interpret)
-            parts.append(jax.lax.optimization_barrier(det))
-    return jnp.concatenate(parts, axis=1)
+    fms = [_apply_head(ctx, params, nm, h) for nm, h in necks]
+    dp = head_pad_width(cfg) if ctx.head_pad else 0
+    return decode_detections(fms, cfg.anchors, cfg.number_classes,
+                             cfg.strides, anchor_pad=dp)
 
 
 def calibrate(params: dict, batch_stats: dict, cfg: ModelConfig,
               images: Array,
-              percentile: Optional[float] = None) -> Dict[str, float]:
+              percentile: Optional[float] = None,
+              train_mode: bool = False) -> Dict[str, float]:
     """Per-tensor activation scales from one calibration batch.
 
     Default: absmax (conservative — no clipping, outlier-fragile range).
@@ -1215,14 +1223,21 @@ def calibrate(params: dict, batch_stats: dict, cfg: ModelConfig,
     come from per-tensor fixed-bin histograms reduced inside the jit
     (O(bins) live memory per conv), not from materializing every conv
     input's |activations| at once — the latter is gigabytes of f32 live
-    simultaneously at 512^2 and OOMs with realistic calibration batches."""
+    simultaneously at 512^2 and OOMs with realistic calibration batches.
+
+    `train_mode=True` (QAT static-scale calibration) applies BN with the
+    calibration batch's OWN statistics — matching the train-mode forward
+    the frozen scales will be used in. Post-training (serving)
+    calibration keeps the default running averages, matching inference.
+    """
     collect: Dict[str, Array] = {}
     reduce_mode = "absmax" if percentile is None else "hist"
 
     @jax.jit
     def run(x):
         forward_feature_maps(params, batch_stats, cfg, x, collect=collect,
-                             collect_reduce=reduce_mode)
+                             collect_reduce=reduce_mode,
+                             bn_batch_stats=train_mode)
         if percentile is None:
             return dict(collect)
         return {k: _hist_percentile(counts, m, percentile)
@@ -1282,7 +1297,6 @@ def default_serving_kernels() -> Dict[str, bool]:
 def make_quantized_detector_fn(saved_model_filepath: str,
                                calib_images: Array,
                                calib_percentile: Optional[float] = None,
-                               head_decode_pallas: bool = False,
                                kernels: Optional[Dict[str, bool]] = None):
     """int8 twin of `inference.make_detector_fn`: detect(images NHWC f32)
     -> decoded detections [B, num_boxes, 4+1+C] (no NMS — callers like the
@@ -1296,13 +1310,11 @@ def make_quantized_detector_fn(saved_model_filepath: str,
     scales = calibrate(params, batch_stats, cfg, calib_images,
                        percentile=calib_percentile)
     kw = default_serving_kernels() if kernels is None else dict(kernels)
-    hd = kw.pop("head_decode_pallas", head_decode_pallas)
 
     @jax.jit
     def detect(images: Array) -> Array:
         return forward_detections(params, batch_stats, cfg, images,
-                                  act_scales=scales,
-                                  head_decode_pallas=hd, **kw)
+                                  act_scales=scales, **kw)
 
     return detect, cfg
 
@@ -1312,7 +1324,6 @@ def make_quantized_serving_fn(saved_model_filepath: str,
                               icfg: Optional[InferenceConfig] = None,
                               min_box_size: Optional[int] = None,
                               calib_percentile: Optional[float] = None,
-                              head_decode_pallas: bool = False,
                               kernels: Optional[Dict[str, bool]] = None,
                               raw_pixels: bool = False):
     """int8 twin of `inference.make_serving_fn`: ONE jitted program from
@@ -1337,7 +1348,6 @@ def make_quantized_serving_fn(saved_model_filepath: str,
     scales = calibrate(params, batch_stats, cfg, calib_images,
                        percentile=calib_percentile)
     kw = default_serving_kernels() if kernels is None else dict(kernels)
-    hd = kw.pop("head_decode_pallas", head_decode_pallas)
 
     @jax.jit
     def serve(images: Array):
@@ -1348,16 +1358,17 @@ def make_quantized_serving_fn(saved_model_filepath: str,
         img_h, img_w = images.shape[1], images.shape[2]
         if raw_pixels:
             from yolov3_tpu.data.device_pipeline import zscore_images
-            # emit bf16 straight out of the z-score fusion: the model
-            # casts images to bf16 for the stem anyway (f32-zscore-then-
-            # round is identical either way), and skipping the separate
-            # f32->bf16 convert + relayout at the stem boundary measured
-            # +0.11 ms b64 (scripts/bench_raw_serving.py, DESIGN.md
-            # round-4 input-boundary note)
-            images = zscore_images(images).astype(jnp.bfloat16)
+            # emit the model's compute dtype straight out of the z-score
+            # fusion: the model casts images to cfg.dtype for the stem
+            # anyway (zscore-then-round is identical either way), and
+            # skipping the separate convert + relayout at the stem
+            # boundary measured +0.11 ms b64 (scripts/bench_raw_serving.py,
+            # DESIGN.md round-4 input-boundary note). MUST honor
+            # cfg.dtype — an unconditional bf16 cast silently truncates
+            # f32-compute models (round-4 raw-pixels gate failure).
+            images = zscore_images(images).astype(cfg.dtype)
         det = forward_detections(params, batch_stats, cfg, images,
-                                 act_scales=scales,
-                                 head_decode_pallas=hd, **kw)
+                                 act_scales=scales, **kw)
         clipped = jnp.concatenate([
             jnp.clip(det[..., 0:1], 0, img_w),
             jnp.clip(det[..., 1:2], 0, img_h),

@@ -189,9 +189,15 @@ def train_model(batch_size: int, test_every_n_steps: int,
             @jax.jit
             def _calib(params, batch_stats, x):
                 collect = {}
+                # bn_batch_stats: the frozen scales feed the TRAIN-mode
+                # forward, so calibration must normalize with the batch's
+                # own statistics — running averages are stale mid-training
+                # and the mis-normalization compounds through the backbone
+                # (round-4 int8_static NaN post-mortem, DESIGN.md round 5)
                 Qz.forward_feature_maps(params, batch_stats, cfg, x,
                                         collect=collect,
-                                        collect_reduce="absmax")
+                                        collect_reduce="absmax",
+                                        bn_batch_stats=True)
                 return collect
 
             def recalibrate(st, images):

@@ -55,7 +55,18 @@ def restore_checkpoint(output_folder: str, template) -> Any:
 
 def export_model(output_folder: str, params, batch_stats,
                  config: ModelConfig) -> str:
-    """Write the inference artifact (reference/train.py:208-221)."""
+    """Write the inference artifact (reference/train.py:208-221).
+
+    Training-only QAT flags are stripped from the saved config: they
+    select the TRAINING forward (and `int8_train_static` additionally
+    declares a `quant_scales` flax collection the inference artifact
+    does not carry — applying such a config at inference raises
+    ScopeCollectionNotFound). Serving quantization is post-training
+    (`models/quantized.py` recalibrates its own scales), so the
+    deployment artifact is always a plain bf16/f32 model."""
+    import dataclasses
+    config = dataclasses.replace(config, int8_train=False,
+                                 int8_train_static=False)
     path = os.path.abspath(os.path.join(output_folder, EXPORT_DIR))
     if os.path.exists(path):
         shutil.rmtree(path)
