@@ -151,6 +151,17 @@ def main() -> None:
     emit(f"inference_int8_images_per_sec_512x512_b{batch}",
          batch / dt, "images/sec/chip")
 
+    # on-TPU decode-fidelity gate at the bench shape: the int8 champion
+    # graph must track the bf16 path's boxes BEFORE any number is
+    # reported — a kernel regression cannot silently ship a fast wrong
+    # answer (VERDICT r4 task 5b). Same guard as
+    # tests/test_quantized.py::test_decode_fidelity_random_weights, but
+    # on the real 512px champion program.
+    det_f = np.asarray(jax.device_get(detect(x32)), np.float32)
+    det_q = np.asarray(jax.device_get(detect_int8(x32)), np.float32)
+    fid = Q.decode_iou_fidelity(det_f, det_q, top_k=20)
+    assert fid > 0.9, f"int8 champion decode fidelity {fid:.4f} <= 0.9"
+
     # full serving program (forward + decode + clip + device NMS), int8
     from yolov3_tpu.ops.nms import batched_nms_device
 
@@ -171,6 +182,59 @@ def main() -> None:
     x64 = jnp.asarray(rng.randn(64, 512, 512, 3).astype(np.float32))
     dt = time_fn(serve_int8, x64, 20, lambda o: o[0][0, 0, 0, :2])
     emit("serving_int8_images_per_sec_512x512_b64_incl_nms",
+         64 / dt, "images/sec/chip")
+
+    # serving at REALISTIC score sparsity: random weights saturate every
+    # class's candidate list (worst case for the NMS tail — the row above
+    # is the upper bound); trained detectors put <=1% of raw boxes above
+    # the score threshold (DESIGN.md round-4 sparsity study: tail 1.7-2.0
+    # vs 2.9 ms). Reproduced here by shifting the heads' objectness
+    # biases — exactly what training does (trained obj biases are
+    # strongly negative) — so the timed program is IDENTICAL, only the
+    # score distribution changes.
+    det_h = np.asarray(det_q, np.float32)  # b32 decode fetched above
+    obj = np.clip(det_h[..., 4], 1e-7, 1 - 1e-7)
+    logit = np.log(obj) - np.log1p(-obj)
+    clsp = det_h[..., 5:]
+
+    def frac_above(d):
+        o = 1.0 / (1.0 + np.exp(-(logit + d)))
+        return float((np.sqrt(clsp * o[..., None]) >= 0.1).mean())
+
+    lo, hi = -30.0, 5.0
+    for _ in range(40):  # monotonic in d: bisect to ~1% above threshold
+        mid = 0.5 * (lo + hi)
+        lo, hi = (mid, hi) if frac_above(mid) < 0.01 else (lo, mid)
+    dshift = 0.5 * (lo + hi)
+
+    params_sp = jax.device_get(params)  # fresh host tree, safe to edit
+    stride_d = 5 + cfg.number_classes
+    for hname in ("DetectionHead_0", "DetectionHead_1", "DetectionHead_2"):
+        b_ = np.array(params_sp[hname]["Conv_0"]["bias"], np.float32)
+        b_[4::stride_d] += dshift
+        params_sp[hname]["Conv_0"]["bias"] = jnp.asarray(b_)
+
+    @jax.jit
+    def serve_int8_realistic(images):
+        fms = Q.forward_feature_maps(params_sp, batch_stats, cfg, images,
+                                     act_scales=scales, exit_pallas=True,
+                                     region_full=True, region_fast=True,
+                                     rep_requant=True)
+        det = decode_detections(fms, cfg.anchors, cfg.number_classes,
+                                cfg.strides)
+        clipped = jnp.concatenate([
+            jnp.clip(det[..., 0:1], 0, 512),
+            jnp.clip(det[..., 1:2], 0, 512),
+            jnp.clip(det[..., 2:3], 0, 512),
+            jnp.clip(det[..., 3:4], 0, 512),
+            det[..., 4:],
+        ], axis=-1)
+        return batched_nms_device(clipped, cfg.number_classes,
+                                  iou_threshold=0.3, score_threshold=0.1,
+                                  max_boxes=512, min_box_size=32.0)
+
+    dt = time_fn(serve_int8_realistic, x64, 20, lambda o: o[0][0, 0, 0, :2])
+    emit("serving_int8_realistic_sparsity_images_per_sec_512x512_b64",
          64 / dt, "images/sec/chip")
 
     # raw-pixels serving: the WHOLE reference pipeline (per-image z-score

@@ -71,7 +71,7 @@ def main(argv=None):
                   conv3_pallas=False, head_pad=False, region_pallas=False,
                   region_full=False, region_fast=False, head_matmul=False,
                   rep_requant=False, region_affine2=False,
-                  region_rawin=False):
+                  region_rawin=False, region_rawimg=False):
         kw = dict(act_scales=scales, quant_skip=skip,
                   requant_residual=requant_residual, rep_requant=rep_requant,
                   pointwise_pallas=pointwise_pallas,
@@ -79,7 +79,7 @@ def main(argv=None):
                   conv3_pallas=conv3_pallas, region_pallas=region_pallas,
                   region_full=region_full, region_fast=region_fast,
                   region_affine2=region_affine2, region_rawin=region_rawin,
-                  head_matmul=head_matmul)
+                  region_rawimg=region_rawimg, head_matmul=head_matmul)
 
         @jax.jit
         def f(images):
@@ -161,6 +161,17 @@ def main(argv=None):
     bench("int8_reprq_rawin", make_int8(("Darknet53_0/ConvBlock_0",),
                                         region_full=True, region_fast=True,
                                         rep_requant=True, region_rawin=True))
+    # champion + rawimg: stem1 runs IN-KERNEL from the S2D(2) image —
+    # stem1's entire HBM boundary (1.07 GB bf16 out + 537 MB s8 in at
+    # b64) and the XLA stem1 conv + quantize fusions disappear, and the
+    # small image rows restore the ro=4 band plan (VERDICT r4 task 4)
+    bench("int8_rawimg", make_int8(("Darknet53_0/ConvBlock_0",),
+                                   region_full=True, region_fast=True,
+                                   rep_requant=True, region_rawimg=True))
+    bench("int8_rawimg_b16in", make_int8(("Darknet53_0/ConvBlock_0",),
+                                         region_full=True, region_fast=True,
+                                         rep_requant=True,
+                                         region_rawimg=True), inp=xb16)
     # rawin champion fed bf16 images (both input-boundary savings at once)
     bench("int8_rawin_b16in", make_int8(("Darknet53_0/ConvBlock_0",),
                                         region_full=True, region_fast=True,
@@ -222,6 +233,10 @@ def main(argv=None):
                        ("Darknet53_0/ConvBlock_0",), region_full=True,
                        region_fast=True, rep_requant=True,
                        region_rawin=True),
+                   "int8_rawimg": make_int8(
+                       ("Darknet53_0/ConvBlock_0",), region_full=True,
+                       region_fast=True, rep_requant=True,
+                       region_rawimg=True),
                    "int8_headpad": make_int8(
                        ("Darknet53_0/ConvBlock_0",), exit_pallas=True,
                        head_pad=True),

@@ -306,3 +306,91 @@ def test_full_model_region_full():
         b = np.asarray(b, np.float32)
         d = np.abs(a - b)
         assert d.max() <= 0.15 * b.std() + 1e-6, (d.max(), b.std())
+
+
+def rawimg_pair(img=64, b=2, seed=0, dtype="float32", fast=False,
+                budget=None, monkeypatch=None):
+    """(rawimg-kernel s8 region output, s8-input-kernel output) with an
+    engagement assertion. NOT bit-identical by contract: stem1 runs as
+    the kernel's [9*4ci]-K lifted matmul vs the mirror's XLA conv, so
+    float-association noise can flip codes sitting exactly on a rounding
+    boundary — same <=1-code class as the other fused stages."""
+    import yolov3_tpu.ops.pallas.s2d_region_kernel as K
+
+    cfg, params, batch_stats = make_model(img, dtype)
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(b, img, img, 3).astype(np.float32))
+    scales = Q.calibrate(params, batch_stats, cfg, x)
+
+    if budget is not None and monkeypatch is not None:
+        monkeypatch.setattr(K, "_VMEM_BUDGET", budget)
+    ref = Q._s2d_region(
+        Q._Ctx(cfg, act_scales=scales, region_full=True, region_fast=fast,
+               fused_interpret=True), params, batch_stats, x)
+
+    seen = []
+    orig = Q._s2d_region_fused
+
+    def spy(ctx, p, bs, conv_in, rawin=False, rawimg=False):
+        seen.append((rawimg, conv_in.shape[-1]))
+        return orig(ctx, p, bs, conv_in, rawin=rawin, rawimg=rawimg)
+
+    Q._s2d_region_fused = spy
+    try:
+        got = Q._s2d_region(
+            Q._Ctx(cfg, act_scales=scales, region_full=True,
+                   region_rawimg=True, region_fast=fast,
+                   fused_interpret=True), params, batch_stats, x)
+    finally:
+        Q._s2d_region_fused = orig
+    assert seen and seen[0][0], "rawimg path fell back"
+    assert seen[0][1] == 3, "rawimg must consume the image itself"
+    assert got.dtype == jnp.int8 and ref.dtype == jnp.int8
+    return got, ref
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_rawimg_matches_s8_kernel(dtype):
+    got, ref = rawimg_pair(dtype=dtype)
+    assert got.shape == ref.shape
+    assert_quant_close(got, ref, frac=0.10)
+
+
+def test_rawimg_multiband_and_batch_tiles():
+    """Several row bands (extra carry-init band 0, the cross-band x-row
+    scratch carry) and two batch tiles (x carry re-init at tile 2)."""
+    got, ref = rawimg_pair(img=128, b=16, seed=7)
+    assert_quant_close(got, ref, frac=0.10)
+
+
+def test_rawimg_fast_epilogue():
+    got, ref = rawimg_pair(seed=2, fast=True)
+    assert_quant_close(got, ref, frac=0.10)
+
+
+def test_rawimg_ro2_plan(monkeypatch):
+    """Force the ro=2 band geometry (different window-block alignment and
+    bottom-halo coverage of the band-0 carry init)."""
+    got, ref = rawimg_pair(img=128, seed=5, budget=2_900_000,
+                           monkeypatch=monkeypatch)
+    assert_quant_close(got, ref, frac=0.10)
+
+
+def test_full_model_region_rawimg():
+    """forward_feature_maps with region_rawimg == plain int8 mirror on a
+    small end-to-end model."""
+    cfg, params, batch_stats = make_model()
+    rng = np.random.RandomState(19)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    scales = Q.calibrate(params, batch_stats, cfg, x)
+    ref = Q.forward_feature_maps(params, batch_stats, cfg, x,
+                                 act_scales=scales)
+    got = Q.forward_feature_maps(params, batch_stats, cfg, x,
+                                 act_scales=scales, region_full=True,
+                                 region_rawimg=True, region_fast=True,
+                                 fused_interpret=True)
+    for a, b in zip(got, ref):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        d = np.abs(a - b)
+        assert d.max() <= 0.15 * b.std() + 1e-6, (d.max(), b.std())

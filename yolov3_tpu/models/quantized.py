@@ -124,6 +124,7 @@ class _Ctx:
                  region_fast: bool = False,
                  region_affine2: bool = False,
                  region_rawin: bool = False,
+                 region_rawimg: bool = False,
                  head_matmul: bool = False,
                  head_pad: bool = False,
                  bn_batch_stats: bool = False):
@@ -138,6 +139,7 @@ class _Ctx:
         self.region_fast = region_fast
         self.region_affine2 = region_affine2
         self.region_rawin = region_rawin
+        self.region_rawimg = region_rawimg
         self.head_matmul = head_matmul
         self.dtype = cfg.dtype
         self.quant_skip = frozenset(quant_skip)
@@ -756,10 +758,12 @@ def _s2d_tail(ctx: _Ctx, p: dict, bs: dict, conv_in: Array) -> Array:
 
 
 def _region_full_eligible(ctx: _Ctx, p: dict, conv_in: Array,
-                          rawin: bool = False) -> bool:
+                          rawin: bool = False,
+                          rawimg: bool = False) -> bool:
     """The full-region kernel needs all five conv blocks int8-calibrated
     (it consumes stem1's pre-quantized s8 output — or, with `rawin`, its
-    raw bf16 output, quantizing in-VMEM — and emits FeatureBlock_1's
+    raw bf16 output, quantizing in-VMEM; with `rawimg`, the z-scored
+    IMAGE itself, running stem1 in-kernel — and emits FeatureBlock_1's
     entry) and the band plan within its VMEM budget."""
     from yolov3_tpu.ops.pallas.s2d_region_kernel import vmem_fits
 
@@ -772,21 +776,32 @@ def _region_full_eligible(ctx: _Ctx, p: dict, conv_in: Array,
     if any(nm in ctx.quant_skip or nm not in ctx.act_scales
            for nm in names):
         return False
-    n, h2, w2, c1 = conv_in.shape
+    if rawimg:
+        n, hr, wr, ci = conv_in.shape
+        if hr % 4 or wr % 4:
+            return False
+        h2, w2 = hr // 2, wr // 2
+        ci2 = 4 * ci
+        c1 = 4 * p[d]["ConvBlock_0"]["Conv_0"]["kernel"].shape[3]
+    else:
+        ci2 = 0
+        n, h2, w2, c1 = conv_in.shape
     cm = 4 * p[d]["FeatureBlock_0"]["ConvBlock_0"]["Conv_0"][
         "kernel"].shape[3]
     c = 4 * p[d]["ConvBlock_1"]["Conv_0"]["kernel"].shape[3]
     co = p[d]["ConvBlock_2"]["Conv_0"]["kernel"].shape[3]
-    return vmem_fits(h2 // 2, w2 // 2, n, c1, c, cm, co, rawin)
+    return vmem_fits(h2 // 2, w2 // 2, n, c1, c, cm, co, rawin, ci2)
 
 
 def _s2d_region_fused(ctx: _Ctx, p: dict, bs: dict, conv_in: Array,
-                      rawin: bool = False) -> Array:
+                      rawin: bool = False, rawimg: bool = False) -> Array:
     """Pack the full region's lifted kernels + folded epilogues and run
     the fused band pipeline. conv_in: stem1's pre-quantized s8 output
     (scale s1 = ConvBlock_1's activation scale) — or, with `rawin`, its
-    RAW bf16/f32 output; the kernel then quantizes in-VMEM (epi row 17 =
-    1/s1) and the s8 stem1 boundary never exists in HBM."""
+    RAW bf16/f32 output (the kernel quantizes in-VMEM, epi row 17 =
+    1/s1); or, with `rawimg`, the z-scored IMAGE itself — stem1 runs
+    in-kernel (epi rows 17-20 = stem1's bias/BN affine + 1/s1) and its
+    entire HBM boundary never exists."""
     from yolov3_tpu.ops.pallas.s2d_region_kernel import s2d_region_block_q
 
     d = "Darknet53_0"
@@ -887,21 +902,47 @@ def _s2d_region_fused(ctx: _Ctx, p: dict, bs: dict, conv_in: Array,
         # division _quantize_act performs, so codes stay bit-identical)
         epi = jnp.concatenate(
             [epi, jnp.full((1, c), jnp.float32(1.0) / s1)], axis=0)
+    ws1 = None
+    if rawimg:
+        # rows 17-20: stem1's bias / BN affine (UNQUANTIZED — stem1
+        # keeps the serving path's bf16 skip) + the 1/s1 quantize; fast
+        # mode folds 1/s1 into the affine like the other stages
+        ws1 = Y._s2d_kernel_stem1_s2d2(
+            p[d]["ConvBlock_0"]["Conv_0"]["kernel"])
+        ws1 = ws1.reshape(ws1.shape[0] * ws1.shape[1], ws1.shape[2])
+        mul0, add0 = _bn_affine(ctx.cfg, p[d]["ConvBlock_0"],
+                                bs[d]["ConvBlock_0"])
+        b0 = p[d]["ConvBlock_0"]["Conv_0"]["bias"].astype(jnp.float32)
+        b0, mul0, add0 = (jnp.tile(v, 4) for v in (b0, mul0, add0))
+        if fast:
+            mul0, add0 = mul0 / s1, add0 / s1
+        epi = jnp.concatenate(
+            [epi, jnp.stack([pad(b0), pad(mul0), pad(add0),
+                             jnp.full((c,), jnp.float32(1.0) / s1)])],
+            axis=0)
     with jax.named_scope(f"{d}/s2d_region_pallas"):
         # barrier-pinned boundaries, same rationale as the exit kernel
         xb = jax.lax.optimization_barrier(conv_in)
         out = s2d_region_block_q(
             xb, wq2.reshape(9, c1, c), wq1.reshape(c, cm),
-            wqf.reshape(9, cm, c), wq3.reshape(4, c, co), epi,
+            wqf.reshape(9, cm, c), wq3.reshape(4, c, co), epi, ws1,
             alpha=ctx.cfg.leaky_relu_alpha,
             cast_bf16=(ctx.dtype == jnp.bfloat16), fast=fast,
-            affine2=affine2, rawin=rawin, interpret=ctx.fused_interpret)
+            affine2=affine2, rawin=rawin, rawimg=rawimg,
+            interpret=ctx.fused_interpret)
         return jax.lax.optimization_barrier(out)
 
 
 def _s2d_region(ctx: _Ctx, p: dict, bs: dict, x: Array) -> Array:
     """Mirror of `_s2d_region_apply` (inference path) in any mode."""
     d = "Darknet53_0"
+    if (ctx.region_full and ctx.region_rawimg
+            and _region_full_eligible(ctx, p, x, rawimg=True)):
+        # the kernel consumes the z-scored IMAGE and runs stem1
+        # in-kernel: stem1's entire HBM boundary (bf16 out + s8 in) and
+        # the XLA stem1 conv + quantize fusions never exist
+        return _s2d_region_fused(ctx, p, bs, x.astype(ctx.dtype),
+                                 rawimg=True)
     # stem1 consumes the RAW image directly (see _s2d_kernel_stem1_direct)
     k4 = Y._s2d_kernel_stem1_direct(p[d]["ConvBlock_0"]["Conv_0"]["kernel"])
     y = _conv_block(ctx, f"{d}/ConvBlock_0", p[d]["ConvBlock_0"],
@@ -1047,6 +1088,7 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                          region_fast: bool = False,
                          region_affine2: bool = False,
                          region_rawin: bool = False,
+                         region_rawimg: bool = False,
                          head_matmul: bool = False,
                          bn_batch_stats: bool = False,
                          ) -> Tuple[Array, Array, Array]:
@@ -1072,6 +1114,7 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                conv3_pallas=conv3_pallas, region_pallas=region_pallas,
                region_full=region_full, region_fast=region_fast,
                region_affine2=region_affine2, region_rawin=region_rawin,
+               region_rawimg=region_rawimg,
                head_matmul=head_matmul, bn_batch_stats=bn_batch_stats)
     return tuple(_apply_head(ctx, params, nm, h)
                  for nm, h in _forward_necks(ctx, params, batch_stats, x))

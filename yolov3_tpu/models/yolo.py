@@ -217,6 +217,31 @@ def _s2d_kernel_stem1_direct(w: Array) -> Array:
     return out.reshape(4, 4, ci, 4 * co)
 
 
+def _s2d_kernel_stem1_s2d2(w: Array) -> Array:
+    """[3,3,Ci,Co] -> the [9, 4Ci, 4Co] kernel computing stem1's blocked
+    output from the SPACE-TO-DEPTH(2) image (channel layout (dr,dc,ch),
+    i.e. `img.reshape(n,H,2,W,2,ci).transpose(0,1,3,2,4,5)`).
+
+    Blocked output row g channel (dy,dx,co) is the original stride-1
+    SAME conv at raw row 2g+dy, reading raw rows 2g+(dy+u-1) for
+    u in 0..2 — raw row 2g+k lives in S2D row g+floor(k/2) at dr=k%2,
+    so the window is the 3 S2D rows g-1..g+1 (tap a) x 3 S2D cols (tap
+    b). 48 of the 9*4Ci*4Co slots are dense (same 48-term arithmetic as
+    `_s2d_kernel_stem1_direct`); the zero-padded form exists so the
+    region kernel can run stem1 as ONE [m, 9*4Ci] @ [9*4Ci, 4Co] MXU
+    pass per row (ops/pallas/s2d_region_kernel.py rawimg mode)."""
+    ci, co = w.shape[2], w.shape[3]
+    out = jnp.zeros((3, 3, 2, 2, ci, 2, 2, co), w.dtype)
+    for dy in range(2):
+        for dx in range(2):
+            for u in range(3):
+                for v in range(3):
+                    a, dr = divmod(dy + u - 1 + 2, 2)
+                    b, dc = divmod(dx + v - 1 + 2, 2)
+                    out = out.at[a, b, dr, dc, :, dy, dx, :].set(w[u, v])
+    return out.reshape(3, 3, 4 * ci, 4 * co).reshape(9, 4 * ci, 4 * co)
+
+
 def _s2d_kernel_stride2_exit(w: Array) -> Array:
     """Rearrange a 3x3 stride-2 SAME conv kernel [3,3,Ci,Co] into the exact
     stride-1 kernel [2,2,4Ci,Co] whose output leaves the blocked domain.

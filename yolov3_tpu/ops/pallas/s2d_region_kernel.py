@@ -55,48 +55,68 @@ _VMEM_BUDGET = 13 * 1024 * 1024
 
 
 def _estimate(ro: int, w: int, bt: int, c1: int, c: int, cm: int,
-              co: int, rawin: bool = False) -> int:
-    """Peak VMEM bytes for one band (ro output rows)."""
-    ib = 2 if rawin else 1            # bf16 input rows in rawin mode
-    irow = 2 * w * bt * c1 * ib       # one 256-dom input row
+              co: int, rawin: bool = False, ci2: int = 0) -> int:
+    """Peak VMEM bytes for one band (ro output rows). `ci2 > 0` = rawimg
+    mode (input is the S2D(2) image, ci2 channels, bf16)."""
     row = w * bt
-    return (2 * 2 * ro * irow         # xA + xB blocks (dblbuf)
-            + 2 * irow                # overlap halo row (dblbuf)
-            # rawin replaces the dedicated 5-row prologue block with an
-            # extra carry-init band riding the regular window refs
-            + (0 if rawin else 2 * 5 * irow)
+    if ci2:
+        irow = 2 * w * bt * ci2 * 2   # one 256-dom S2D-image row (bf16)
+        inp = 2 * (2 * ro + 3) * irow  # Itop + Ia + Ib + Ibot (dblbuf)
+        xs = 2 * w * bt * c1          # computed-x carry row (s8)
+        stem1 = (2 * w * bt * 9 * ci2 * 2   # packed [2m, 9*ci2] operand
+                 + 2 * w * bt * c1 * 4      # f32 acc chain
+                 + 9 * ci2 * c1 * 2)        # lifted stem1 weight (bf16)
+    else:
+        ib = 2 if rawin else 1        # bf16 input rows in rawin mode
+        irow = 2 * w * bt * c1 * ib   # one 256-dom input row
+        inp = (2 * 2 * ro * irow      # xA + xB blocks (dblbuf)
+               + 2 * irow             # overlap halo row (dblbuf)
+               # rawin replaces the dedicated 5-row prologue block with
+               # an extra carry-init band riding the regular window refs
+               + (0 if rawin else 2 * 5 * irow))
+        xs = 0
+        stem1 = 0
+    return (inp + xs + stem1
             + 2 * ro * row * co       # out (dblbuf)
             + row * c + 2 * row * cm + row * c   # scratch carries
             + (ro + 2) * row * cm     # band-live q3 rows
             + 3 * row * c * 4         # per-row s32/f32 chains
             + row * cm * 4
-            + 9 * c1 * c + cm * c + 9 * cm * c + 4 * c * co + 18 * c * 4)
+            + 9 * c1 * c + cm * c + 9 * cm * c + 4 * c * co + 22 * c * 4)
 
 
 def _plan(h: int, w: int, b: int, c1: int, c: int, cm: int, co: int,
-          rawin: bool = False):
+          rawin: bool = False, ci2: int = 0):
     bt = 8 if b % 8 == 0 else b
     # the x-window start 2*r0+4 must be ro-block aligned -> ro in {4, 2};
     # the prologue needs 5 input rows -> 2h >= 5
     for ro in (4, 2):
         if h % ro == 0 and h > ro and _estimate(
-                ro, w, bt, c1, c, cm, co, rawin) <= _VMEM_BUDGET:
+                ro, w, bt, c1, c, cm, co, rawin, ci2) <= _VMEM_BUDGET:
             return ro, bt
     return 0, 0
 
 
 def vmem_fits(h: int, w: int, b: int, c1: int, c: int, cm: int,
-              co: int, rawin: bool = False) -> bool:
+              co: int, rawin: bool = False, ci2: int = 0) -> bool:
     if h < 4 or w < 2:
         return False
-    ro, bt = _plan(h, w, b, c1, c, cm, co, rawin)
+    ro, bt = _plan(h, w, b, c1, c, cm, co, rawin, ci2)
     return ro > 0
 
 
 def _kernel(*refs, ro: int, h: int, w: int, bt: int, c1: int, c: int,
             cm: int, co: int, alpha: float, cast_bf16: bool, fast: bool,
-            affine2: bool, rawin: bool):
-    if rawin:
+            affine2: bool, rawin: bool, ci2: int = 0):
+    xs = None
+    if ci2:
+        # rawimg: input is the S2D(2) image [h2, n, ci2, w2] (w2 on
+        # lanes — a ci2(=12)-minor layout would lane-pad every VMEM row
+        # 128/ci2-fold); stem1 itself runs in-kernel
+        xpro_ref = xa_ref = xb_ref = xh_ref = None
+        (it_ref, ia_ref, ib_ref, ibo_ref, ws1_ref, w2_ref, wpw_ref,
+         wfb_ref, wex_ref, epi_ref, out_ref, q2s, q3s, q4s, xs) = refs
+    elif rawin:
         xpro_ref = None
         (xa_ref, xb_ref, xh_ref, w2_ref, wpw_ref, wfb_ref, wex_ref,
          epi_ref, out_ref, q2s, q3s, q4s) = refs
@@ -104,9 +124,9 @@ def _kernel(*refs, ro: int, h: int, w: int, bt: int, c1: int, c: int,
         (xpro_ref, xa_ref, xb_ref, xh_ref, w2_ref, wpw_ref, wfb_ref,
          wex_ref, epi_ref, out_ref, q2s, q3s, q4s) = refs
     jh = pl.program_id(1)
-    # rawin: band 0 is a pure carry-init pass (no dedicated prologue
-    # block); out rows for band jh start at (jh-1)*ro
-    r0 = (jh - 1) * ro if rawin else jh * ro
+    # rawin/rawimg: band 0 is a pure carry-init pass (no dedicated
+    # prologue block); out rows for band jh start at (jh-1)*ro
+    r0 = (jh - 1) * ro if (rawin or ci2) else jh * ro
     m = w * bt
     h2 = 2 * h
 
@@ -254,13 +274,90 @@ def _kernel(*refs, ro: int, h: int, w: int, bt: int, c1: int, c: int,
                            -127.0, 127.0).astype(jnp.int8)
         return row
 
+    def stem1_x_row(r3, t):
+        """Stem1 output row t (s8, [2w, bt, c1]) computed from its three
+        S2D-image rows t-1, t, t+1 (each [bt, ci2, w2], already masked).
+
+        The 9 lifted taps (3 image rows x 3 column shifts; the column
+        shifts are STATIC lane slices since w2 rides the lane dim) stack
+        on the contracting dim: per batch slice, ONE [9*ci2, w2]^T @
+        [9*ci2, c1] MXU pass — the natural lhsT form, no operand
+        transpose. Epilogue: bias -> LeakyReLU -> BN affine (stem1 stays
+        unquantized bf16, mirroring the serving quant_skip), then the
+        in-VMEM quantize to ConvBlock_1's scale (epi rows 17-20)."""
+        zl = jnp.zeros((bt, ci2, 1), r3[0].dtype)
+        variants = []
+        for row in r3:
+            v0 = jnp.concatenate([zl, row[..., :-1]], axis=-1)  # col j-1
+            v2 = jnp.concatenate([row[..., 1:], zl], axis=-1)   # col j+1
+            variants.append((v0, row, v2))
+        outs = []
+        for bi in range(bt):
+            lhs = jnp.concatenate(
+                [v[bi] for vs in variants for v in vs], axis=0)
+            acc = jax.lax.dot_general(
+                lhs, ws1_ref[...], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)             # [w2, c1]
+            if cast_bf16:
+                # the mirror's stem1 conv emits BF16 (f32 accumulation,
+                # bf16 result — no preferred_element_type); round the
+                # accumulator identically or downstream codes drift
+                acc = acc.astype(jnp.bfloat16).astype(jnp.float32)
+            y = acc + epi_ref[17, :c1]
+            if fast:
+                y = jnp.maximum(y, alpha * y)
+                q = jnp.clip(
+                    jnp.round(y * epi_ref[18, :c1] + epi_ref[19, :c1]),
+                    -127.0, 127.0).astype(jnp.int8)
+            else:
+                y = jnp.where(y >= 0.0, y, alpha * y)
+                y = y * epi_ref[18, :c1] + epi_ref[19, :c1]
+                if cast_bf16:
+                    y = y.astype(jnp.bfloat16).astype(jnp.float32)
+                q = _quant(y, epi_ref[20, :c1])
+            outs.append(q)
+        q = jnp.stack(outs, axis=1)                             # [2w, bt, c1]
+        return jnp.where(t <= h2 - 1, q, jnp.zeros_like(q))
+
+    def i_row(off):
+        """S2D-image row at window offset `off` in [0, 2*ro+2] (global
+        row 2*r0+3+off), masked to zeros off-image."""
+        if off == 0:
+            row = it_ref[0]
+        elif off <= ro:
+            row = ia_ref[off - 1]
+        elif off <= 2 * ro:
+            row = ib_ref[off - 1 - ro]
+        else:
+            row = ibo_ref[off - 1 - 2 * ro]
+        g = 2 * r0 + 3 + off
+        return jnp.where(g <= h2 - 1, row, jnp.zeros_like(row))
+
     @pl.when(jh == 0)
     def _prologue():
         # carry-init for out row 0: q2 row 1, q3 rows 0..1, q4 row 0.
-        # rawin: rows 0..4 arrive through the regular window refs (band 0
-        # is carry-init only; its out block is overwritten by band 1)
-        pro = x_row if rawin else (lambda u: xpro_ref[u])
-        rows5 = [pro(u) for u in range(5)]
+        # rawin/rawimg: rows 0..4 arrive through the regular window refs
+        # (band 0 is carry-init only; its out block is overwritten by
+        # band 1)
+        if ci2:
+            def pro_i(t):
+                # I rows 0..5 through the jh==0-clamped window blocks
+                # (Ia = block 0, Ib = block 1, Ibot = rows 4..5); row -1
+                # is exact zeros (its only weight slots are zero-padded)
+                if t < 0:
+                    return jnp.zeros((bt, ci2, 2 * w), ia_ref.dtype)
+                if t < ro:
+                    return ia_ref[t]
+                if t < 2 * ro:
+                    return ib_ref[t - ro]
+                return ibo_ref[t - 2 * ro]
+
+            rows5 = [stem1_x_row([pro_i(t - 1), pro_i(t), pro_i(t + 1)], t)
+                     for t in range(5)]
+            xs[0] = rows5[4]
+        else:
+            pro = x_row if rawin else (lambda u: xpro_ref[u])
+            rows5 = [pro(u) for u in range(5)]
         q2_0 = stem2_row(rows5[0:3], 0)
         q2_1 = stem2_row(rows5[2:5], 1)
         q3_0 = pw_row(q2_0, 0)
@@ -278,21 +375,36 @@ def _kernel(*refs, ro: int, h: int, w: int, bt: int, c1: int, c: int,
         q3_a, q3_b = q3s[0], q3s[1]  # q3 rows r0, r0+1
         q4_a = q4s[0]               # q4 row r0
         x_hi = None                 # offset 2j+2 == next j's offset 2j
+        x_lo = xs[0] if ci2 else None  # x row 2*r0+4 (cross-band carry)
         for j in range(ro):
             g = r0 + j + 2
-            x_lo = x_row(2 * j) if x_hi is None else x_hi
-            x_hi = x_row(2 * j + 2)
-            q2_new = stem2_row([x_lo, x_row(2 * j + 1), x_hi], g)
+            if ci2:
+                # x rows 2*r0+4 + 2j+1 / +2j+2, each computed EXACTLY
+                # once (the band-boundary row rides the xs carry)
+                x_mid = stem1_x_row(
+                    [i_row(2 * j + 1), i_row(2 * j + 2), i_row(2 * j + 3)],
+                    2 * r0 + 5 + 2 * j)
+                x_hi = stem1_x_row(
+                    [i_row(2 * j + 2), i_row(2 * j + 3), i_row(2 * j + 4)],
+                    2 * r0 + 6 + 2 * j)
+            else:
+                x_lo = x_row(2 * j) if x_hi is None else x_hi
+                x_mid = x_row(2 * j + 1)
+                x_hi = x_row(2 * j + 2)
+            q2_new = stem2_row([x_lo, x_mid, x_hi], g)
             q3_new = pw_row(q2_new, g)
             q4_new = fb0_row([q3_a, q3_b, q3_new], q2_prev, r0 + j + 1)
             exit_row(j, q4_a, q4_new)
             q2_prev, q3_a, q3_b, q4_a = q2_new, q3_b, q3_new, q4_new
+            x_lo = x_hi
+        if ci2:
+            xs[0] = x_lo
         q2s[0] = q2_prev
         q3s[0] = q3_a
         q3s[1] = q3_b
         q4s[0] = q4_a
 
-    if rawin:
+    if rawin or ci2:
         pl.when(jh != 0)(_body)
     else:
         _body()
@@ -300,13 +412,15 @@ def _kernel(*refs, ro: int, h: int, w: int, bt: int, c1: int, c: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("alpha", "cast_bf16", "fast",
-                                    "affine2", "rawin", "interpret"))
+                                    "affine2", "rawin", "rawimg",
+                                    "interpret"))
 def s2d_region_block_q(xq: jnp.ndarray, w_s2: jnp.ndarray,
                        w_pw: jnp.ndarray, w_fb0: jnp.ndarray,
-                       w_exit: jnp.ndarray, epi: jnp.ndarray, *,
+                       w_exit: jnp.ndarray, epi: jnp.ndarray,
+                       w_s1: jnp.ndarray = None, *,
                        alpha: float = 0.1, cast_bf16: bool = True,
                        fast: bool = False, affine2: bool = False,
-                       rawin: bool = False,
+                       rawin: bool = False, rawimg: bool = False,
                        interpret: bool = False) -> jnp.ndarray:
     """s8 [N,2H,2W,c1] (stem1 out) -> s8 [N,H,W,Co] (FeatureBlock_1 in).
 
@@ -342,21 +456,47 @@ def s2d_region_block_q(xq: jnp.ndarray, w_s2: jnp.ndarray,
     bit-identical to the XLA mirror's block_input quantize). The s8
     stem1 boundary then never exists in HBM: the separate quantize
     fusion's 1.07 GB read + 537 MB write at b64/512px disappear against
-    the kernel's doubled (bf16) input-row bytes. To keep the bands in
-    VMEM the dedicated 5-row prologue block is replaced by an extra
-    carry-init band 0 riding the regular window refs (its out block is
-    overwritten by band 1 before the flush).
+    the kernel's doubled (bf16) input-row bytes. (MEASURED NEGATIVE
+    round 5: 28.77 vs 27.63 ms b64 — the doubled input-row reads plus
+    the in-VMEM quantize on the kernel's serialized VPU path cost more
+    than the deleted XLA quantize fusion. Kept as the tested record.)
+
+    `rawimg`: xq is the Z-SCORED IMAGE itself [N, 4H, 4W, ci] — stem1
+    runs IN-KERNEL (w_s1 = `_s2d_kernel_stem1_s2d2` lift, [9*4ci, c1],
+    the model compute dtype; epi rows 17-20 = stem1 b / mul / add /
+    1/s1). The wrapper space-to-depths the image to [2H, N, 4ci, 2W]
+    (w2 on lanes — channel-minor would lane-pad every VMEM row
+    128/12-fold) and the kernel computes each stem1 output row once,
+    carrying the band-boundary row in scratch. stem1's ENTIRE HBM
+    boundary (1.07 GB bf16 out + 537 MB s8 in at b64/512px) and the
+    XLA stem1 conv + quantize fusions disappear; the kernel's input
+    traffic drops to the ~100 MB image, which also shrinks the window
+    blocks enough to restore ro=4 (the s8-input plan runs ro=2 at the
+    512px shape).
     """
-    n, h2, w2, c1 = xq.shape
+    if rawimg:
+        n, hr, wr, ci = xq.shape
+        h2, w2 = hr // 2, wr // 2
+        ci2 = 4 * ci
+        c1 = w_s2.shape[1]
+    else:
+        ci2 = 0
+        n, h2, w2, c1 = xq.shape
     h, w = h2 // 2, w2 // 2
     c = w_s2.shape[-1]
     cm = w_pw.shape[-1]
     co = w_exit.shape[-1]
-    ro, bt = _plan(h, w, n, c1, c, cm, co, rawin)
+    ro, bt = _plan(h, w, n, c1, c, cm, co, rawin, ci2)
     nhb = h // ro
     lead = 4 // ro  # x-window start 2*r0+4 in ro-row block units
 
-    xt = jnp.transpose(xq, (1, 2, 0, 3))  # bitcast on conv layouts
+    if rawimg:
+        # ONE XLA transpose: [N,4H,4W,ci] -> S2D(2) [2H, N, 4ci, 2W]
+        xt = jnp.transpose(xq.reshape(n, h2, 2, w2, 2, ci),
+                           (1, 0, 2, 4, 5, 3)
+                           ).reshape(h2, n, ci2, w2)
+    else:
+        xt = jnp.transpose(xq, (1, 2, 0, 3))  # bitcast on conv layouts
     nb2 = h2 // ro  # number of ro-row blocks in the 256-dom
 
     weight_specs = [
@@ -371,7 +511,44 @@ def s2d_region_block_q(xq: jnp.ndarray, w_s2: jnp.ndarray,
         pl.BlockSpec(epi.shape, lambda ib, jh: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    if rawin:
+    if rawimg:
+        # band jh >= 1 computes out rows r0 = (jh-1)*ro; its stem1 rows
+        # [2*r0+4, 2*r0+2*ro+4] read image rows [2*r0+3, 2*r0+2*ro+5]:
+        # one top halo row + two aligned ro-blocks + a 2-row bottom halo
+        # block. Band 0 is carry-init (stem1 rows 0..4 from image rows
+        # 0..5 through the jh==0-clamped blocks; image row -1 is exact
+        # zeros in the lift).
+        ishape = (bt, ci2, w2)
+        in_specs = [
+            pl.BlockSpec((1,) + ishape,
+                         lambda ib, jh: (jnp.clip(2 * ro * (jh - 1) + 3,
+                                                  0, h2 - 1), ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ro,) + ishape,
+                         lambda ib, jh: (jnp.clip(2 * jh - 2 + lead, 0,
+                                                  nb2 - 1), ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ro,) + ishape,
+                         lambda ib, jh: (jnp.minimum(
+                             jnp.maximum(2 * jh - 2 + lead, 0) + 1,
+                             nb2 - 1), ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2,) + ishape,
+                         lambda ib, jh: (jnp.clip(jh * ro + 2, 0,
+                                                  h2 // 2 - 1), ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(w_s1.shape, lambda ib, jh: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + weight_specs
+        grid = (n // bt, nhb + 1)
+        # band 0 writes nothing real; its block (index 0) is revisited
+        # and fully overwritten by band 1 before the flush
+        out_spec = pl.BlockSpec((ro, w, bt, co),
+                                lambda ib, jh: (jnp.maximum(jh - 1, 0),
+                                                0, ib, 0),
+                                memory_space=pltpu.VMEM)
+        inputs = (xt, xt, xt, xt, w_s1.astype(xq.dtype))
+    elif rawin:
         # band jh >= 1 computes out rows r0 = (jh-1)*ro from window rows
         # [2*r0+4, 2*r0+2*ro+4]; band 0 is carry-init from rows 0..4,
         # riding the same refs (xa = block 0, xb = block 1, halo = row 4)
@@ -426,19 +603,23 @@ def s2d_region_block_q(xq: jnp.ndarray, w_s2: jnp.ndarray,
                                 memory_space=pltpu.VMEM)
         inputs = (xt, xt, xt, xt)
 
+    scratch = [
+        pltpu.VMEM((1, w, bt, c), jnp.int8),    # q2 carry
+        pltpu.VMEM((2, w, bt, cm), jnp.int8),   # q3 carry
+        pltpu.VMEM((1, w, bt, c), jnp.int8),    # q4 carry
+    ]
+    if rawimg:
+        scratch.append(pltpu.VMEM((1, 2 * w, bt, c1), jnp.int8))  # x carry
     out = pl.pallas_call(
         functools.partial(_kernel, ro=ro, h=h, w=w, bt=bt, c1=c1, c=c,
                           cm=cm, co=co, alpha=alpha, cast_bf16=cast_bf16,
-                          fast=fast, affine2=affine2, rawin=rawin),
+                          fast=fast, affine2=affine2, rawin=rawin,
+                          ci2=ci2),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((h, w, n, co), jnp.int8),
-        scratch_shapes=[
-            pltpu.VMEM((1, w, bt, c), jnp.int8),    # q2 carry
-            pltpu.VMEM((2, w, bt, cm), jnp.int8),   # q3 carry
-            pltpu.VMEM((1, w, bt, c), jnp.int8),    # q4 carry
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(*inputs, w_s2, w_pw, w_fb0, w_exit, epi.astype(jnp.float32))
     return jnp.transpose(out, (2, 0, 1, 3))
