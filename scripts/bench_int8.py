@@ -70,10 +70,12 @@ def main(argv=None):
                   exit_pallas=False, down_pallas=False,
                   conv3_pallas=False, head_pad=False, region_pallas=False,
                   region_full=False, region_fast=False, head_matmul=False,
-                  rep_requant=False, region_affine2=False,
+                  rep_requant=False, rep_requant_final=False,
+                  region_affine2=False,
                   region_rawin=False, region_rawimg=False):
         kw = dict(act_scales=scales, quant_skip=skip,
                   requant_residual=requant_residual, rep_requant=rep_requant,
+                  rep_requant_final=rep_requant_final,
                   pointwise_pallas=pointwise_pallas,
                   exit_pallas=exit_pallas, down_pallas=down_pallas,
                   conv3_pallas=conv3_pallas, region_pallas=region_pallas,
@@ -150,6 +152,14 @@ def main(argv=None):
     bench("int8_reprq", make_int8(("Darknet53_0/ConvBlock_0",),
                                   region_full=True, region_fast=True,
                                   rep_requant=True))
+    # champion + exit-boundary requantization (FB1->CB3, FB4->YB0;
+    # bit-identical, XLA-only — the rep_requant fold extended to the
+    # single-consumer block exits; FB1's boundary alone is ~268 MB bf16
+    # at b64)
+    bench("int8_reprq_f", make_int8(("Darknet53_0/ConvBlock_0",),
+                                    region_full=True, region_fast=True,
+                                    rep_requant=True,
+                                    rep_requant_final=True))
     # champion with the 2-affine region epilogue (two FMAs + max replace
     # the add/leaky/scale chain in the stem2/pw/fb0 stages)
     bench("int8_reprq_a2", make_int8(("Darknet53_0/ConvBlock_0",),
@@ -229,6 +239,10 @@ def main(argv=None):
                    "int8_reprq": make_int8(
                        ("Darknet53_0/ConvBlock_0",), region_full=True,
                        region_fast=True, rep_requant=True),
+                   "int8_reprq_f": make_int8(
+                       ("Darknet53_0/ConvBlock_0",), region_full=True,
+                       region_fast=True, rep_requant=True,
+                       rep_requant_final=True),
                    "int8_reprq_rawin": make_int8(
                        ("Darknet53_0/ConvBlock_0",), region_full=True,
                        region_fast=True, rep_requant=True,

@@ -78,6 +78,21 @@ class TestHeadPad:
         for a, b in zip(got, ref):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_rep_requant_final_bit_identical(self):
+        """The final-rep extension stores FB1/FB4's exit boundary
+        pre-quantized at the single consumer's scale (ConvBlock_3 /
+        YoloBlock_0's entry 1x1) — that consumer quantizes with exactly
+        this scale anyway, so the maps must stay bit-identical."""
+        cfg, model, variables, x = make_model(True)
+        p, bs = variables["params"], variables["batch_stats"]
+        scales = Q.calibrate(p, bs, cfg, x)
+        ref = Q.forward_feature_maps(p, bs, cfg, x, act_scales=scales)
+        got = Q.forward_feature_maps(p, bs, cfg, x, act_scales=scales,
+                                     rep_requant=True,
+                                     rep_requant_final=True)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_head_pad_width_fallbacks(self):
         # A=3 does not divide 128 -> no padding
         cfg3 = ModelConfig(img_size=(64, 64, 3), number_classes=2,

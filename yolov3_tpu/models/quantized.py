@@ -115,6 +115,7 @@ class _Ctx:
                  collect_reduce: str = "absmax",
                  requant_residual: bool = True,
                  rep_requant: bool = False,
+                 rep_requant_final: bool = False,
                  pointwise_pallas: bool = False,
                  exit_pallas: bool = False,
                  down_pallas: bool = False,
@@ -147,6 +148,7 @@ class _Ctx:
         self.collect_reduce = collect_reduce
         self.requant_residual = requant_residual
         self.rep_requant = rep_requant
+        self.rep_requant_final = rep_requant_final
         self.pointwise_pallas = pointwise_pallas
         self.conv3_pallas = conv3_pallas
         self.head_pad = head_pad
@@ -472,9 +474,26 @@ def _conv_block_cat2(ctx: _Ctx, name: str, p: dict, bs: dict,
 
 
 def _feature_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
-                   reps: int) -> Array:
+                   reps: int, next_name: Optional[str] = None) -> Array:
+    """`next_name`: the SINGLE consumer of this block's output, when it
+    has exactly one (FB1 -> ConvBlock_3, FB4 -> YoloBlock_0; FB2/FB3
+    also feed FPN routes at a different scale, so they don't qualify).
+    With `rep_requant_final`, the final rep's chain tensor is then
+    stored pre-quantized at that consumer's scale — the same
+    BIT-IDENTICAL fold `rep_requant` applies to the in-block reps,
+    extended to the block's exit boundary."""
     if reps == 0:  # zero-rep blocks create no params (e.g. block_count=1)
         return x
+
+    def exit_requant(out):
+        if (ctx.rep_requant_final and ctx.int8 and next_name is not None
+                and next_name not in ctx.quant_skip
+                and ctx.act_scales is not None
+                and next_name in ctx.act_scales
+                and out.dtype != jnp.int8):
+            return _quantize_act(out,
+                                 jnp.float32(ctx.act_scales[next_name]))
+        return out
     # requantized residual: ConvBlock_0 consumes the pre-quantized s8
     # directly; every residual add reads its dequantized image (the fused
     # kernel gets the dequantized bf16 and re-quantizes — same numbers to
@@ -538,7 +557,7 @@ def _feature_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
                                residual_q=conv_in, res_scale=s_in)
             y = _conv_block(ctx, n2, p[f"ConvBlock_{2 * r + 1}"],
                             bs[f"ConvBlock_{2 * r + 1}"], q2)
-        return inputs + y
+        return exit_requant(inputs + y)
 
     x = conv_in
     for r in range(reps):
@@ -563,7 +582,7 @@ def _feature_block(ctx: _Ctx, name: str, p: dict, bs: dict, x: Array,
                               jnp.float32(ctx.act_scales[nxt]))
         else:
             x = inputs + y
-    return x
+    return exit_requant(x)
 
 
 def _bn_affine(cfg: ModelConfig, p: dict, bs: dict):
@@ -1079,6 +1098,7 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                          collect_reduce: str = "absmax",
                          requant_residual: bool = True,
                          rep_requant: bool = False,
+                         rep_requant_final: bool = False,
                          pointwise_pallas: bool = False,
                          exit_pallas: bool = False,
                          down_pallas: bool = False,
@@ -1109,6 +1129,7 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                collect_reduce=collect_reduce,
                requant_residual=requant_residual,
                rep_requant=rep_requant,
+               rep_requant_final=rep_requant_final,
                pointwise_pallas=pointwise_pallas,
                exit_pallas=exit_pallas, down_pallas=down_pallas,
                conv3_pallas=conv3_pallas, region_pallas=region_pallas,
@@ -1190,12 +1211,13 @@ def _forward_necks(ctx: _Ctx, params: dict, batch_stats: dict,
                         f"{d}/FeatureBlock_0/ConvBlock_0")
         y = _feature_block(ctx, f"{d}/FeatureBlock_0",
                            p[d]["FeatureBlock_0"], bs[d]["FeatureBlock_0"],
-                           y, 1)
+                           y, 1, next_name=f"{d}/ConvBlock_2")
         y = _down_block(ctx, f"{d}/ConvBlock_2", p[d]["ConvBlock_2"],
                         bs[d]["ConvBlock_2"], y,
                         f"{d}/FeatureBlock_1/ConvBlock_0")
     y = _feature_block(ctx, f"{d}/FeatureBlock_1", p[d]["FeatureBlock_1"],
-                       bs[d]["FeatureBlock_1"], y, 2)
+                       bs[d]["FeatureBlock_1"], y, 2,
+                       next_name=f"{d}/ConvBlock_3")
     y = _down_block(ctx, f"{d}/ConvBlock_3", p[d]["ConvBlock_3"],
                     bs[d]["ConvBlock_3"], y,
                     f"{d}/FeatureBlock_2/ConvBlock_0")
@@ -1213,7 +1235,8 @@ def _forward_necks(ctx: _Ctx, params: dict, batch_stats: dict,
                     f"{d}/FeatureBlock_4/ConvBlock_0")
     y = _feature_block(ctx, f"{d}/FeatureBlock_4",
                        p[d].get("FeatureBlock_4", {}),
-                       bs[d].get("FeatureBlock_4", {}), y, bc // 2)
+                       bs[d].get("FeatureBlock_4", {}), y, bc // 2,
+                       next_name="YoloBlock_0/ConvBlock_0")
     route_s32 = y
 
     up = lambda t: Y.upsample_2x(t, channel_sum=cfg.upsample_channel_sum)
