@@ -71,7 +71,7 @@ def main(argv=None):
                   conv3_pallas=False, head_pad=False, region_pallas=False,
                   region_full=False, region_fast=False, head_matmul=False,
                   rep_requant=False, rep_requant_final=False,
-                  region_affine2=False,
+                  region_affine2=False, region_pipe=False,
                   region_rawin=False, region_rawimg=False):
         kw = dict(act_scales=scales, quant_skip=skip,
                   requant_residual=requant_residual, rep_requant=rep_requant,
@@ -80,7 +80,8 @@ def main(argv=None):
                   exit_pallas=exit_pallas, down_pallas=down_pallas,
                   conv3_pallas=conv3_pallas, region_pallas=region_pallas,
                   region_full=region_full, region_fast=region_fast,
-                  region_affine2=region_affine2, region_rawin=region_rawin,
+                  region_affine2=region_affine2, region_pipe=region_pipe,
+                  region_rawin=region_rawin,
                   region_rawimg=region_rawimg, head_matmul=head_matmul)
 
         @jax.jit
@@ -160,6 +161,11 @@ def main(argv=None):
                                     region_full=True, region_fast=True,
                                     rep_requant=True,
                                     rep_requant_final=True))
+    # champion + stem2 software-pipeline probe (row r+1's tap matmuls
+    # issued before row r's VPU epilogue chain)
+    bench("int8_reprq_pipe", make_int8(("Darknet53_0/ConvBlock_0",),
+                                       region_full=True, region_fast=True,
+                                       rep_requant=True, region_pipe=True))
     # champion with the 2-affine region epilogue (two FMAs + max replace
     # the add/leaky/scale chain in the stem2/pw/fb0 stages)
     bench("int8_reprq_a2", make_int8(("Darknet53_0/ConvBlock_0",),

@@ -23,9 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=600)
+    p.add_argument("--steps", type=int, default=1200)
     p.add_argument("--images", type=int, default=8)
-    p.add_argument("--lr", type=float, default=5e-3)
+    # the 64px toy gate overfits at 5e-3, but the full-depth 512px model
+    # in bf16 diverges there (first run: loss 1090 -> NaN by step 50);
+    # reference-style warmup (lr/10, train.py:warmup_lr_divisor) plus a
+    # cooler peak converges
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--warmup", type=int, default=150)
     p.add_argument("--out", default="/tmp/qg512")
     args = p.parse_args(argv)
 
@@ -94,10 +99,10 @@ def main(argv=None):
          np.stack([lab[1] for lab in labels]),
          np.stack([lab[2] for lab in labels])), mesh)
 
-    lr = jnp.float32(args.lr)
     t0 = time.time()
     metrics = None
     for i in range(args.steps):
+        lr = jnp.float32(args.lr / 10.0 if i < args.warmup else args.lr)
         state, metrics = step(state, tbatch, lr)
         if i % 50 == 0:
             loss = float(metrics["loss"])

@@ -394,3 +394,21 @@ def test_full_model_region_rawimg():
         b = np.asarray(b, np.float32)
         d = np.abs(a - b)
         assert d.max() <= 0.15 * b.std() + 1e-6, (d.max(), b.std())
+
+
+def test_region_pipe_bit_identical():
+    """The software-pipeline probe only REORDERS work (row r+1's stem2
+    matmuls issued before row r's epilogues); per-row arithmetic is
+    unchanged, so outputs must be bit-identical to the unpiped kernel."""
+    cfg, params, batch_stats = make_model(128)
+    rng = np.random.RandomState(23)
+    x = jnp.asarray(rng.randn(2, 128, 128, 3).astype(np.float32))
+    scales = Q.calibrate(params, batch_stats, cfg, x)
+    ref = Q._s2d_region(
+        Q._Ctx(cfg, act_scales=scales, region_full=True, region_fast=True,
+               fused_interpret=True), params, batch_stats, x)
+    got = Q._s2d_region(
+        Q._Ctx(cfg, act_scales=scales, region_full=True, region_fast=True,
+               region_pipe=True, fused_interpret=True),
+        params, batch_stats, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

@@ -124,6 +124,7 @@ class _Ctx:
                  region_full: bool = False,
                  region_fast: bool = False,
                  region_affine2: bool = False,
+                 region_pipe: bool = False,
                  region_rawin: bool = False,
                  region_rawimg: bool = False,
                  head_matmul: bool = False,
@@ -139,6 +140,7 @@ class _Ctx:
         self.region_full = region_full
         self.region_fast = region_fast
         self.region_affine2 = region_affine2
+        self.region_pipe = region_pipe
         self.region_rawin = region_rawin
         self.region_rawimg = region_rawimg
         self.head_matmul = head_matmul
@@ -948,7 +950,7 @@ def _s2d_region_fused(ctx: _Ctx, p: dict, bs: dict, conv_in: Array,
             alpha=ctx.cfg.leaky_relu_alpha,
             cast_bf16=(ctx.dtype == jnp.bfloat16), fast=fast,
             affine2=affine2, rawin=rawin, rawimg=rawimg,
-            interpret=ctx.fused_interpret)
+            pipe=ctx.region_pipe, interpret=ctx.fused_interpret)
         return jax.lax.optimization_barrier(out)
 
 
@@ -1107,6 +1109,7 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                          region_full: bool = False,
                          region_fast: bool = False,
                          region_affine2: bool = False,
+                         region_pipe: bool = False,
                          region_rawin: bool = False,
                          region_rawimg: bool = False,
                          head_matmul: bool = False,
@@ -1134,7 +1137,8 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                exit_pallas=exit_pallas, down_pallas=down_pallas,
                conv3_pallas=conv3_pallas, region_pallas=region_pallas,
                region_full=region_full, region_fast=region_fast,
-               region_affine2=region_affine2, region_rawin=region_rawin,
+               region_affine2=region_affine2, region_pipe=region_pipe,
+               region_rawin=region_rawin,
                region_rawimg=region_rawimg,
                head_matmul=head_matmul, bn_batch_stats=bn_batch_stats)
     return tuple(_apply_head(ctx, params, nm, h)

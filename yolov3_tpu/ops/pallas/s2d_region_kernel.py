@@ -107,7 +107,7 @@ def vmem_fits(h: int, w: int, b: int, c1: int, c: int, cm: int,
 
 def _kernel(*refs, ro: int, h: int, w: int, bt: int, c1: int, c: int,
             cm: int, co: int, alpha: float, cast_bf16: bool, fast: bool,
-            affine2: bool, rawin: bool, ci2: int = 0):
+            affine2: bool, rawin: bool, ci2: int = 0, pipe: bool = False):
     xs = None
     if ci2:
         # rawimg: input is the S2D(2) image [h2, n, ci2, w2] (w2 on
@@ -156,9 +156,11 @@ def _kernel(*refs, ro: int, h: int, w: int, bt: int, c1: int, c: int,
         y = jnp.maximum(af * m1 + c1_, af * m2 + c2_)
         return jnp.clip(jnp.round(y), -127.0, 127.0).astype(jnp.int8)
 
-    def stem2_row(rows3, g_out):
-        """q2 row `g_out` from its three 256-dom input rows (already
-        masked-fetch order: row u covers global 2*g_out+u)."""
+    def stem2_acc(rows3, g_out):
+        """stem2's raw s32 accumulation for q2 row `g_out` (the MXU half
+        of stem2_row, split out so the band body can ISSUE row r+1's tap
+        matmuls before row r's VPU epilogue chain — a software-pipeline
+        probe against Mosaic's per-row MXU/VPU serialization)."""
         acc = None
         for u, row in enumerate(rows3):
             gg = 2 * g_out + u
@@ -173,6 +175,10 @@ def _kernel(*refs, ro: int, h: int, w: int, bt: int, c1: int, c: int,
                     tap.reshape(m, c1), w2_ref[u * 3 + vv], _MM,
                     preferred_element_type=jnp.int32)
                 acc = part if acc is None else acc + part
+        return acc
+
+    def stem2_fin(acc, g_out):
+        """stem2's epilogue+requant (the VPU half of stem2_row)."""
         if affine2:
             q = stage_q2(acc, epi_ref[13, :c], epi_ref[14, :c],
                          epi_ref[15, :c], epi_ref[16, :c]).reshape(w, bt, c)
@@ -180,6 +186,11 @@ def _kernel(*refs, ro: int, h: int, w: int, bt: int, c1: int, c: int,
             q = stage_q(acc, epi_ref[13, :c], epi_ref[14, :c],
                         epi_ref[15, :c], epi_ref[16, :c]).reshape(w, bt, c)
         return jnp.where(g_out <= h - 1, q, jnp.zeros_like(q))
+
+    def stem2_row(rows3, g_out):
+        """q2 row `g_out` from its three 256-dom input rows (already
+        masked-fetch order: row u covers global 2*g_out+u)."""
+        return stem2_fin(stem2_acc(rows3, g_out), g_out)
 
     def pw_row(q2k, g_out):
         acc = jax.lax.dot_general(q2k.reshape(m, c), wpw_ref[...], _MM,
@@ -376,6 +387,28 @@ def _kernel(*refs, ro: int, h: int, w: int, bt: int, c1: int, c: int,
         q4_a = q4s[0]               # q4 row r0
         x_hi = None                 # offset 2j+2 == next j's offset 2j
         x_lo = xs[0] if ci2 else None  # x row 2*r0+4 (cross-band carry)
+        if pipe and not ci2:
+            # software-pipeline probe: row r+1's stem2 tap matmuls are
+            # ISSUED before row r's VPU epilogue chain, giving Mosaic's
+            # scheduler explicit MXU work to overlap with the epilogues
+            acc_next = stem2_acc([x_row(0), x_row(1), x_row(2)], r0 + 2)
+            for j in range(ro):
+                g = r0 + j + 2
+                acc_cur = acc_next
+                if j + 1 < ro:
+                    acc_next = stem2_acc(
+                        [x_row(2 * j + 2), x_row(2 * j + 3),
+                         x_row(2 * j + 4)], g + 1)
+                q2_new = stem2_fin(acc_cur, g)
+                q3_new = pw_row(q2_new, g)
+                q4_new = fb0_row([q3_a, q3_b, q3_new], q2_prev, r0 + j + 1)
+                exit_row(j, q4_a, q4_new)
+                q2_prev, q3_a, q3_b, q4_a = q2_new, q3_b, q3_new, q4_new
+            q2s[0] = q2_prev
+            q3s[0] = q3_a
+            q3s[1] = q3_b
+            q4s[0] = q4_a
+            return
         for j in range(ro):
             g = r0 + j + 2
             if ci2:
@@ -412,7 +445,7 @@ def _kernel(*refs, ro: int, h: int, w: int, bt: int, c1: int, c: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("alpha", "cast_bf16", "fast",
-                                    "affine2", "rawin", "rawimg",
+                                    "affine2", "rawin", "rawimg", "pipe",
                                     "interpret"))
 def s2d_region_block_q(xq: jnp.ndarray, w_s2: jnp.ndarray,
                        w_pw: jnp.ndarray, w_fb0: jnp.ndarray,
@@ -421,6 +454,7 @@ def s2d_region_block_q(xq: jnp.ndarray, w_s2: jnp.ndarray,
                        alpha: float = 0.1, cast_bf16: bool = True,
                        fast: bool = False, affine2: bool = False,
                        rawin: bool = False, rawimg: bool = False,
+                       pipe: bool = False,
                        interpret: bool = False) -> jnp.ndarray:
     """s8 [N,2H,2W,c1] (stem1 out) -> s8 [N,H,W,Co] (FeatureBlock_1 in).
 
@@ -614,7 +648,7 @@ def s2d_region_block_q(xq: jnp.ndarray, w_s2: jnp.ndarray,
         functools.partial(_kernel, ro=ro, h=h, w=w, bt=bt, c1=c1, c=c,
                           cm=cm, co=co, alpha=alpha, cast_bf16=cast_bf16,
                           fast=fast, affine2=affine2, rawin=rawin,
-                          ci2=ci2),
+                          ci2=ci2, pipe=pipe),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
