@@ -133,17 +133,16 @@ def main() -> None:
     # ---- int8 inference, batch 32 and 64 (b64 headline, printed LAST) ----
     scales = Q.calibrate(params, batch_stats, cfg, x32[:8])
 
+    # the PINNED serving kernel set (measured winners — round-5: the
+    # S2D-region kernel with folded fast epilogue + rep-boundary
+    # requantization + stem2 software pipelining; DESIGN.md ledgers).
+    # bench.py times exactly what `make_quantized_detector_fn` ships.
+    serving_kernels = Q.default_serving_kernels()
+
     @jax.jit
     def detect_int8(images):
-        # round-4 champion: the full S2D-region kernel with the folded
-        # fast epilogue (27.84 vs 28.15 ms b64 exit-kernel champion)
-        # plus rep-boundary requantization in the deep blocks (27.75 vs
-        # 28.09, bit-identical — DESIGN.md round-4 ledger); exit_pallas
-        # stays as the fallback when the region kernel is ineligible
         fms = Q.forward_feature_maps(params, batch_stats, cfg, images,
-                                     act_scales=scales, exit_pallas=True,
-                                     region_full=True, region_fast=True,
-                                     rep_requant=True)
+                                     act_scales=scales, **serving_kernels)
         return decode_detections(fms, cfg.anchors, cfg.number_classes,
                                  cfg.strides)
 
@@ -217,9 +216,7 @@ def main() -> None:
     @jax.jit
     def serve_int8_realistic(images):
         fms = Q.forward_feature_maps(params_sp, batch_stats, cfg, images,
-                                     act_scales=scales, exit_pallas=True,
-                                     region_full=True, region_fast=True,
-                                     rep_requant=True)
+                                     act_scales=scales, **serving_kernels)
         det = decode_detections(fms, cfg.anchors, cfg.number_classes,
                                 cfg.strides)
         clipped = jnp.concatenate([

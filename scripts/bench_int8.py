@@ -72,6 +72,7 @@ def main(argv=None):
                   region_full=False, region_fast=False, head_matmul=False,
                   rep_requant=False, rep_requant_final=False,
                   region_affine2=False, region_pipe=False,
+                  region_pipe2=False,
                   region_rawin=False, region_rawimg=False):
         kw = dict(act_scales=scales, quant_skip=skip,
                   requant_residual=requant_residual, rep_requant=rep_requant,
@@ -81,6 +82,7 @@ def main(argv=None):
                   conv3_pallas=conv3_pallas, region_pallas=region_pallas,
                   region_full=region_full, region_fast=region_fast,
                   region_affine2=region_affine2, region_pipe=region_pipe,
+                  region_pipe2=region_pipe2,
                   region_rawin=region_rawin,
                   region_rawimg=region_rawimg, head_matmul=head_matmul)
 
@@ -166,6 +168,13 @@ def main(argv=None):
     bench("int8_reprq_pipe", make_int8(("Darknet53_0/ConvBlock_0",),
                                        region_full=True, region_fast=True,
                                        rep_requant=True, region_pipe=True))
+    # champion + DEEP software pipeline: every stage's tap matmuls issue
+    # one row ahead of its VPU epilogue (s32 accumulator carries, one-band
+    # out shift) — extends the winning pipe probe to pw/fb0/exit
+    bench("int8_reprq_pipe2", make_int8(("Darknet53_0/ConvBlock_0",),
+                                        region_full=True, region_fast=True,
+                                        rep_requant=True,
+                                        region_pipe2=True))
     # champion with the 2-affine region epilogue (two FMAs + max replace
     # the add/leaky/scale chain in the stem2/pw/fb0 stages)
     bench("int8_reprq_a2", make_int8(("Darknet53_0/ConvBlock_0",),

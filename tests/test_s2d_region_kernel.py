@@ -396,6 +396,43 @@ def test_full_model_region_rawimg():
         assert d.max() <= 0.15 * b.std() + 1e-6, (d.max(), b.std())
 
 
+def test_region_pipe2_bit_identical():
+    """The DEEP software pipeline (every stage's MXU acc issued one row
+    ahead of its VPU fin, s32 accumulator carries, one-band out shift)
+    only reorders work: per-element arithmetic is unchanged, so outputs
+    must be bit-identical to the unpiped kernel — including across the
+    shifted out-grid's band boundaries and the pipeline-fill prologue."""
+    cfg, params, batch_stats = make_model(128)
+    rng = np.random.RandomState(29)
+    x = jnp.asarray(rng.randn(2, 128, 128, 3).astype(np.float32))
+    scales = Q.calibrate(params, batch_stats, cfg, x)
+    ref = Q._s2d_region(
+        Q._Ctx(cfg, act_scales=scales, region_full=True, region_fast=True,
+               fused_interpret=True), params, batch_stats, x)
+    got = Q._s2d_region(
+        Q._Ctx(cfg, act_scales=scales, region_full=True, region_fast=True,
+               region_pipe2=True, fused_interpret=True),
+        params, batch_stats, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_region_pipe2_batch_tiles_reinit():
+    """b=16 -> two batch tiles: the pipe2 fill prologue must reset the
+    q2/q3/q4 AND accumulator carries at the second tile."""
+    cfg, params, batch_stats = make_model(64)
+    rng = np.random.RandomState(31)
+    x = jnp.asarray(rng.randn(16, 64, 64, 3).astype(np.float32))
+    scales = Q.calibrate(params, batch_stats, cfg, x)
+    ref = Q._s2d_region(
+        Q._Ctx(cfg, act_scales=scales, region_full=True, region_fast=True,
+               fused_interpret=True), params, batch_stats, x)
+    got = Q._s2d_region(
+        Q._Ctx(cfg, act_scales=scales, region_full=True, region_fast=True,
+               region_pipe2=True, fused_interpret=True),
+        params, batch_stats, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_region_pipe_bit_identical():
     """The software-pipeline probe only REORDERS work (row r+1's stem2
     matmuls issued before row r's epilogues); per-row arithmetic is

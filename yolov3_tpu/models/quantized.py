@@ -125,6 +125,7 @@ class _Ctx:
                  region_fast: bool = False,
                  region_affine2: bool = False,
                  region_pipe: bool = False,
+                 region_pipe2: bool = False,
                  region_rawin: bool = False,
                  region_rawimg: bool = False,
                  head_matmul: bool = False,
@@ -141,6 +142,7 @@ class _Ctx:
         self.region_fast = region_fast
         self.region_affine2 = region_affine2
         self.region_pipe = region_pipe
+        self.region_pipe2 = region_pipe2
         self.region_rawin = region_rawin
         self.region_rawimg = region_rawimg
         self.head_matmul = head_matmul
@@ -950,7 +952,8 @@ def _s2d_region_fused(ctx: _Ctx, p: dict, bs: dict, conv_in: Array,
             alpha=ctx.cfg.leaky_relu_alpha,
             cast_bf16=(ctx.dtype == jnp.bfloat16), fast=fast,
             affine2=affine2, rawin=rawin, rawimg=rawimg,
-            pipe=ctx.region_pipe, interpret=ctx.fused_interpret)
+            pipe=ctx.region_pipe, pipe2=ctx.region_pipe2,
+            interpret=ctx.fused_interpret)
         return jax.lax.optimization_barrier(out)
 
 
@@ -1110,6 +1113,7 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                          region_fast: bool = False,
                          region_affine2: bool = False,
                          region_pipe: bool = False,
+                         region_pipe2: bool = False,
                          region_rawin: bool = False,
                          region_rawimg: bool = False,
                          head_matmul: bool = False,
@@ -1138,6 +1142,7 @@ def forward_feature_maps(params: dict, batch_stats: dict, cfg: ModelConfig,
                conv3_pallas=conv3_pallas, region_pallas=region_pallas,
                region_full=region_full, region_fast=region_fast,
                region_affine2=region_affine2, region_pipe=region_pipe,
+               region_pipe2=region_pipe2,
                region_rawin=region_rawin,
                region_rawimg=region_rawimg,
                head_matmul=head_matmul, bn_batch_stats=bn_batch_stats)
@@ -1348,7 +1353,11 @@ def default_serving_kernels() -> Dict[str, bool]:
     champion 27.84 vs 28.15 ms, and rep-boundary requantization in the
     deep blocks (`rep_requant`, bit-identical s8 chain-tensor stores)
     adds another measured step: 27.75 vs 28.09 ms in the same-session
-    A/B. `exit_pallas` stays on as the fallback
+    A/B. Round-5: `region_pipe` (row r+1's stem2 tap matmuls issue
+    before row r's VPU epilogue chain — software pipelining of the
+    kernel's serialized MXU/VPU boundary; bit-identical) wins the
+    same-session A/B twice: 27.42 vs 27.63 and 27.36 vs 27.66 ms b64.
+    `exit_pallas` stays on as the fallback
     for configs where the region kernel is ineligible (uncalibrated
     blocks, VMEM overflow, non-s2d stems) — when the region kernel
     engages, the exit-conv path is never reached. Every other staged
@@ -1360,7 +1369,8 @@ def default_serving_kernels() -> Dict[str, bool]:
     """
     if jax.default_backend() == "tpu":
         return {"exit_pallas": True, "region_full": True,
-                "region_fast": True, "rep_requant": True}
+                "region_fast": True, "rep_requant": True,
+                "region_pipe": True}
     return {}
 
 

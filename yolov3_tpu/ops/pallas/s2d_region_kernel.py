@@ -55,7 +55,8 @@ _VMEM_BUDGET = 13 * 1024 * 1024
 
 
 def _estimate(ro: int, w: int, bt: int, c1: int, c: int, cm: int,
-              co: int, rawin: bool = False, ci2: int = 0) -> int:
+              co: int, rawin: bool = False, ci2: int = 0,
+              pipe2: bool = False) -> int:
     """Peak VMEM bytes for one band (ro output rows). `ci2 > 0` = rawimg
     mode (input is the S2D(2) image, ci2 channels, bf16)."""
     row = w * bt
@@ -73,10 +74,14 @@ def _estimate(ro: int, w: int, bt: int, c1: int, c: int, cm: int,
                + 2 * irow             # overlap halo row (dblbuf)
                # rawin replaces the dedicated 5-row prologue block with
                # an extra carry-init band riding the regular window refs
-               + (0 if rawin else 2 * 5 * irow))
+               + (0 if rawin else 2 * (6 if pipe2 else 5) * irow))
         xs = 0
         stem1 = 0
-    return (inp + xs + stem1
+    # pipe2: 2 extra carried q2 rows (s8) + the three cross-iteration s32
+    # accumulator carries (stem2 [row,c], pw [row,cm], fb0 [row,c])
+    p2 = (2 * row * c + 4 * row * c + 4 * row * cm + 4 * row * c
+          if pipe2 else 0)
+    return (inp + xs + stem1 + p2
             + 2 * ro * row * co       # out (dblbuf)
             + row * c + 2 * row * cm + row * c   # scratch carries
             + (ro + 2) * row * cm     # band-live q3 rows
@@ -86,13 +91,14 @@ def _estimate(ro: int, w: int, bt: int, c1: int, c: int, cm: int,
 
 
 def _plan(h: int, w: int, b: int, c1: int, c: int, cm: int, co: int,
-          rawin: bool = False, ci2: int = 0):
+          rawin: bool = False, ci2: int = 0, pipe2: bool = False):
     bt = 8 if b % 8 == 0 else b
     # the x-window start 2*r0+4 must be ro-block aligned -> ro in {4, 2};
-    # the prologue needs 5 input rows -> 2h >= 5
-    for ro in (4, 2):
+    # the prologue needs 5 input rows -> 2h >= 5. pipe2's 2-row pipeline
+    # delay equals ro only at ro=2 (the out-block shift is one band).
+    for ro in ((2,) if pipe2 else (4, 2)):
         if h % ro == 0 and h > ro and _estimate(
-                ro, w, bt, c1, c, cm, co, rawin, ci2) <= _VMEM_BUDGET:
+                ro, w, bt, c1, c, cm, co, rawin, ci2, pipe2) <= _VMEM_BUDGET:
             return ro, bt
     return 0, 0
 
@@ -107,8 +113,10 @@ def vmem_fits(h: int, w: int, b: int, c1: int, c: int, cm: int,
 
 def _kernel(*refs, ro: int, h: int, w: int, bt: int, c1: int, c: int,
             cm: int, co: int, alpha: float, cast_bf16: bool, fast: bool,
-            affine2: bool, rawin: bool, ci2: int = 0, pipe: bool = False):
+            affine2: bool, rawin: bool, ci2: int = 0, pipe: bool = False,
+            pipe2: bool = False):
     xs = None
+    a2s = a3s = a4s = None
     if ci2:
         # rawimg: input is the S2D(2) image [h2, n, ci2, w2] (w2 on
         # lanes — a ci2(=12)-minor layout would lane-pad every VMEM row
@@ -120,13 +128,18 @@ def _kernel(*refs, ro: int, h: int, w: int, bt: int, c1: int, c: int,
         xpro_ref = None
         (xa_ref, xb_ref, xh_ref, w2_ref, wpw_ref, wfb_ref, wex_ref,
          epi_ref, out_ref, q2s, q3s, q4s) = refs
+    elif pipe2:
+        # deep software pipeline: 3 carried q2 rows + per-stage s32
+        # accumulator carries (stem2 / pw / fb0)
+        (xpro_ref, xa_ref, xb_ref, xh_ref, w2_ref, wpw_ref, wfb_ref,
+         wex_ref, epi_ref, out_ref, q2s, q3s, q4s, a2s, a3s, a4s) = refs
     else:
         (xpro_ref, xa_ref, xb_ref, xh_ref, w2_ref, wpw_ref, wfb_ref,
          wex_ref, epi_ref, out_ref, q2s, q3s, q4s) = refs
     jh = pl.program_id(1)
-    # rawin/rawimg: band 0 is a pure carry-init pass (no dedicated
-    # prologue block); out rows for band jh start at (jh-1)*ro
-    r0 = (jh - 1) * ro if (rawin or ci2) else jh * ro
+    # rawin/rawimg/pipe2: band 0 is a pure carry-init pass; out rows for
+    # band jh start at (jh-1)*ro
+    r0 = (jh - 1) * ro if (rawin or ci2 or pipe2) else jh * ro
     m = w * bt
     h2 = 2 * h
 
@@ -192,9 +205,11 @@ def _kernel(*refs, ro: int, h: int, w: int, bt: int, c1: int, c: int,
         masked-fetch order: row u covers global 2*g_out+u)."""
         return stem2_fin(stem2_acc(rows3, g_out), g_out)
 
-    def pw_row(q2k, g_out):
-        acc = jax.lax.dot_general(q2k.reshape(m, c), wpw_ref[...], _MM,
-                                  preferred_element_type=jnp.int32)
+    def pw_acc(q2k):
+        return jax.lax.dot_general(q2k.reshape(m, c), wpw_ref[...], _MM,
+                                   preferred_element_type=jnp.int32)
+
+    def pw_fin(acc, g_out):
         if affine2:
             q = stage_q2(acc, epi_ref[0, :cm], epi_ref[1, :cm],
                          epi_ref[2, :cm],
@@ -206,7 +221,10 @@ def _kernel(*refs, ro: int, h: int, w: int, bt: int, c1: int, c: int,
         # off-image rows are FB0's zero padding
         return jnp.where(g_out <= h - 1, q, jnp.zeros_like(q))
 
-    def fb0_row(q3_win, q2_res, g_out):
+    def pw_row(q2k, g_out):
+        return pw_fin(pw_acc(q2k), g_out)
+
+    def fb0_acc(q3_win):
         zcol = jnp.zeros((1, bt, cm), jnp.int8)
         acc = None
         for u in range(3):
@@ -218,6 +236,9 @@ def _kernel(*refs, ro: int, h: int, w: int, bt: int, c1: int, c: int,
                     tap.reshape(m, cm), wfb_ref[u * 3 + vv], _MM,
                     preferred_element_type=jnp.int32)
                 acc = part if acc is None else acc + part
+        return acc
+
+    def fb0_fin(acc, q2_res, g_out):
         if affine2:
             # 2-affine form with the (sign-compensated) residual row at
             # epi[8]: y = max(acc*m1+c1, acc*m2+c2) + q2*r
@@ -251,20 +272,32 @@ def _kernel(*refs, ro: int, h: int, w: int, bt: int, c1: int, c: int,
         q = _quant(y, epi_ref[8, :c]).reshape(w, bt, c)
         return jnp.where(g_out <= h - 1, q, jnp.zeros_like(q))
 
-    def exit_row(j, q4a, q4b):
+    def fb0_row(q3_win, q2_res, g_out):
+        return fb0_fin(fb0_acc(q3_win), q2_res, g_out)
+
+    def exit_acc_half(tap_row, u):
+        """Exit-conv taps 2u (unshifted) + 2u+1 (column-shifted) on ONE
+        q4 row — split so the q4_a (carry) half can issue before the
+        current row's fb0 epilogue in the pipe2 schedule."""
         acc = None
-        for t in range(4):
-            u, vv = divmod(t, 2)
-            tap = (q4a, q4b)[u]
+        for vv in range(2):
+            tap = tap_row
             if vv == 1:
                 tap = jnp.concatenate(
                     [tap[1:], jnp.zeros((1, bt, c), jnp.int8)], axis=0)
-            part = jax.lax.dot_general(tap.reshape(m, c), wex_ref[t], _MM,
+            part = jax.lax.dot_general(tap.reshape(m, c),
+                                       wex_ref[2 * u + vv], _MM,
                                        preferred_element_type=jnp.int32)
             acc = part if acc is None else acc + part
+        return acc
+
+    def exit_fin(j, acc):
         out_ref[j] = stage_q(acc, epi_ref[9, :co], epi_ref[10, :co],
                              epi_ref[11, :co],
                              epi_ref[12, :co]).reshape(w, bt, co)
+
+    def exit_row(j, q4a, q4b):
+        exit_fin(j, exit_acc_half(q4a, 0) + exit_acc_half(q4b, 1))
 
     def x_row(off):
         """256-dom input row at window offset `off` (global 2*r0+4+off;
@@ -344,7 +377,6 @@ def _kernel(*refs, ro: int, h: int, w: int, bt: int, c1: int, c: int,
         g = 2 * r0 + 3 + off
         return jnp.where(g <= h2 - 1, row, jnp.zeros_like(row))
 
-    @pl.when(jh == 0)
     def _prologue():
         # carry-init for out row 0: q2 row 1, q3 rows 0..1, q4 row 0.
         # rawin/rawimg: rows 0..4 arrive through the regular window refs
@@ -437,16 +469,90 @@ def _kernel(*refs, ro: int, h: int, w: int, bt: int, c1: int, c: int,
         q3s[1] = q3_b
         q4s[0] = q4_a
 
-    if rawin or ci2:
+    def _pro_x(t):
+        """pipe2 prologue: global x row t in [0, 10] — rows 0..5 from the
+        6-row constant block, rows 6..10 through the band-0 window refs
+        (whose pipe2 index maps put rows 6..10 exactly there at jh=0)."""
+        if t < 6:
+            return xpro_ref[t]
+        return x_row(t - 6)
+
+    def _prologue2():
+        # pipeline fill for band 1 (out rows 0..ro-1): q2 rows 1..3, q3
+        # rows 1..2, q4 row 0, plus the three stage accumulators (stem2
+        # acc row 4, pw acc row 3, fb0 acc for q4 row 1). Needs x rows
+        # 0..10; rows past h2-1 are masked inside stem2_acc/the fins.
+        rows = [_pro_x(t) for t in range(11)]
+        q2r = [stem2_row(rows[2 * t:2 * t + 3], t) for t in range(4)]
+        a2s[0] = stem2_acc(rows[8:11], 4).reshape(w, bt, c)
+        q3r = [pw_row(q2r[t], t) for t in range(3)]
+        a3s[0] = pw_acc(q2r[3]).reshape(w, bt, cm)
+        zrow = jnp.zeros((w, bt, cm), jnp.int8)
+        q4s[0] = fb0_row([zrow, q3r[0], q3r[1]], q2r[0], 0)
+        a4s[0] = fb0_acc([q3r[0], q3r[1], q3r[2]]).reshape(w, bt, c)
+        q2s[0] = q2r[1]
+        q2s[1] = q2r[2]
+        q2s[2] = q2r[3]
+        q3s[0] = q3r[1]
+        q3s[1] = q3r[2]
+
+    def _body2():
+        # 2-row-deep software pipeline: every stage's fin (VPU epilogue)
+        # consumes an accumulator MXU-issued one row earlier, and each
+        # fin is immediately followed by the one MXU acc that depends on
+        # it — so Mosaic always has independent matmul work in flight
+        # while a VPU chain runs. Iteration j (out row rE = r0+j) fins
+        # q2(rE+4) / q3(rE+3) / q4(rE+1) / out(rE) and issues the accs
+        # for q2(rE+5) / q3(rE+4) / q4(rE+2) / half of out(rE+1).
+        q2_a, q2_b, q2_c = q2s[0], q2s[1], q2s[2]   # rows r0+1..r0+3
+        q3_a, q3_b = q3s[0], q3s[1]                 # rows r0+1, r0+2
+        q4_a = q4s[0]                               # row r0
+        acc2 = a2s[0].reshape(m, c)                 # stem2 acc row r0+4
+        acc3 = a3s[0].reshape(m, cm)                # pw acc row r0+3
+        acc4 = a4s[0].reshape(m, c)                 # fb0 acc, q4 row r0+1
+        for j in range(ro):
+            rE = r0 + j
+            # independent MXU first: next stem2 acc + the carry half of
+            # this row's exit conv overlap the whole VPU chain below
+            acc2_new = stem2_acc(
+                [x_row(2 * j), x_row(2 * j + 1), x_row(2 * j + 2)], rE + 5)
+            accE = exit_acc_half(q4_a, 0)
+            q2_new = stem2_fin(acc2, rE + 4)
+            acc3_new = pw_acc(q2_new)
+            q3_new = pw_fin(acc3, rE + 3)
+            acc4_new = fb0_acc([q3_a, q3_b, q3_new])
+            q4_new = fb0_fin(acc4, q2_a, rE + 1)
+            accE = accE + exit_acc_half(q4_new, 1)
+            exit_fin(j, accE)
+            q2_a, q2_b, q2_c = q2_b, q2_c, q2_new
+            q3_a, q3_b = q3_b, q3_new
+            q4_a = q4_new
+            acc2, acc3, acc4 = acc2_new, acc3_new, acc4_new
+        q2s[0] = q2_a
+        q2s[1] = q2_b
+        q2s[2] = q2_c
+        q3s[0] = q3_a
+        q3s[1] = q3_b
+        q4s[0] = q4_a
+        a2s[0] = acc2.reshape(w, bt, c)
+        a3s[0] = acc3.reshape(w, bt, cm)
+        a4s[0] = acc4.reshape(w, bt, c)
+
+    if pipe2:
+        pl.when(jh == 0)(_prologue2)
+        pl.when(jh != 0)(_body2)
+    elif rawin or ci2:
+        pl.when(jh == 0)(_prologue)
         pl.when(jh != 0)(_body)
     else:
+        pl.when(jh == 0)(_prologue)
         _body()
 
 
 @functools.partial(jax.jit,
                    static_argnames=("alpha", "cast_bf16", "fast",
                                     "affine2", "rawin", "rawimg", "pipe",
-                                    "interpret"))
+                                    "pipe2", "interpret"))
 def s2d_region_block_q(xq: jnp.ndarray, w_s2: jnp.ndarray,
                        w_pw: jnp.ndarray, w_fb0: jnp.ndarray,
                        w_exit: jnp.ndarray, epi: jnp.ndarray,
@@ -454,7 +560,7 @@ def s2d_region_block_q(xq: jnp.ndarray, w_s2: jnp.ndarray,
                        alpha: float = 0.1, cast_bf16: bool = True,
                        fast: bool = False, affine2: bool = False,
                        rawin: bool = False, rawimg: bool = False,
-                       pipe: bool = False,
+                       pipe: bool = False, pipe2: bool = False,
                        interpret: bool = False) -> jnp.ndarray:
     """s8 [N,2H,2W,c1] (stem1 out) -> s8 [N,H,W,Co] (FeatureBlock_1 in).
 
@@ -520,7 +626,14 @@ def s2d_region_block_q(xq: jnp.ndarray, w_s2: jnp.ndarray,
     c = w_s2.shape[-1]
     cm = w_pw.shape[-1]
     co = w_exit.shape[-1]
-    ro, bt = _plan(h, w, n, c1, c, cm, co, rawin, ci2)
+    if pipe2 and (rawin or rawimg):
+        pipe2 = False  # the deep pipeline targets the s8-input path only
+    if pipe2:
+        ro, bt = _plan(h, w, n, c1, c, cm, co, pipe2=True)
+        if ro != 2:
+            pipe2 = False  # ro=2 plan doesn't fit: fall back to pipe/plain
+    if not pipe2:
+        ro, bt = _plan(h, w, n, c1, c, cm, co, rawin, ci2)
     nhb = h // ro
     lead = 4 // ro  # x-window start 2*r0+4 in ro-row block units
 
@@ -609,6 +722,38 @@ def s2d_region_block_q(xq: jnp.ndarray, w_s2: jnp.ndarray,
                                                 0, ib, 0),
                                 memory_space=pltpu.VMEM)
         inputs = (xt, xt, xt)
+    elif pipe2:
+        # band jh >= 1 computes out rows r0 = (jh-1)*ro; its stem2 accs
+        # run 5 rows ahead of the out rows, so the band window is x rows
+        # [2*r0+10, 2*r0+2*ro+10] = [4jh+6, 4jh+10] (ro=2): two aligned
+        # blocks + one overlap halo row. Band 0 (pipeline fill) needs x
+        # rows 0..10: rows 0..5 through a dedicated 6-row constant block,
+        # rows 6..10 through these same window refs (their jh=0 indices
+        # land exactly there).
+        in_specs = [
+            pl.BlockSpec((6, w2, bt, c1), lambda ib, jh: (0, 0, ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ro, w2, bt, c1),
+                         lambda ib, jh: (jnp.minimum(2 * jh + 3,
+                                                     nb2 - 1), 0, ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ro, w2, bt, c1),
+                         lambda ib, jh: (jnp.minimum(2 * jh + 4,
+                                                     nb2 - 1), 0, ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w2, bt, c1),
+                         lambda ib, jh: (jnp.minimum(4 * jh + 10,
+                                                     h2 - 1), 0, ib, 0),
+                         memory_space=pltpu.VMEM),
+        ] + weight_specs
+        grid = (n // bt, nhb + 1)
+        # band 0 writes nothing real; its block (index 0) is revisited
+        # and fully overwritten by band 1 before the flush
+        out_spec = pl.BlockSpec((ro, w, bt, co),
+                                lambda ib, jh: (jnp.maximum(jh - 1, 0),
+                                                0, ib, 0),
+                                memory_space=pltpu.VMEM)
+        inputs = (xt, xt, xt, xt)
     else:
         in_specs = [
             # prologue rows 0..4: constant block index -> fetched only
@@ -638,17 +783,23 @@ def s2d_region_block_q(xq: jnp.ndarray, w_s2: jnp.ndarray,
         inputs = (xt, xt, xt, xt)
 
     scratch = [
-        pltpu.VMEM((1, w, bt, c), jnp.int8),    # q2 carry
+        pltpu.VMEM((3 if pipe2 else 1, w, bt, c), jnp.int8),  # q2 carry
         pltpu.VMEM((2, w, bt, cm), jnp.int8),   # q3 carry
         pltpu.VMEM((1, w, bt, c), jnp.int8),    # q4 carry
     ]
+    if pipe2:
+        scratch += [
+            pltpu.VMEM((1, w, bt, c), jnp.int32),    # stem2 acc carry
+            pltpu.VMEM((1, w, bt, cm), jnp.int32),   # pw acc carry
+            pltpu.VMEM((1, w, bt, c), jnp.int32),    # fb0 acc carry
+        ]
     if rawimg:
         scratch.append(pltpu.VMEM((1, 2 * w, bt, c1), jnp.int8))  # x carry
     out = pl.pallas_call(
         functools.partial(_kernel, ro=ro, h=h, w=w, bt=bt, c1=c1, c=c,
                           cm=cm, co=co, alpha=alpha, cast_bf16=cast_bf16,
                           fast=fast, affine2=affine2, rawin=rawin,
-                          ci2=ci2, pipe=pipe),
+                          ci2=ci2, pipe=pipe, pipe2=pipe2),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
