@@ -23,14 +23,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=1200)
+    p.add_argument("--steps", type=int, default=8000)
     p.add_argument("--images", type=int, default=8)
     # the 64px toy gate overfits at 5e-3, but the full-depth 512px model
-    # in bf16 diverges there (first run: loss 1090 -> NaN by step 50);
-    # reference-style warmup (lr/10, train.py:warmup_lr_divisor) plus a
-    # cooler peak converges
-    p.add_argument("--lr", type=float, default=1e-3)
-    p.add_argument("--warmup", type=int, default=150)
+    # in bf16 diverges there (measured: loss 1090 -> NaN by step 50 at
+    # 5e-3; an lr/10 step-warmup into a 1e-3 peak also NaNs within 50
+    # steps of the jump while the loss is still ~740). A LINEAR ramp
+    # from lr/10 to a cooler peak over [warmup, 2*warmup] converges.
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--warmup", type=int, default=300)
+    # constant-lr training at the 3e-4 peak is unstable late (measured:
+    # loss 0.28 at step 4150 -> spike 20.6 -> NaN at 4250); decay the lr
+    # once the initial descent is done, like any real training schedule
+    p.add_argument("--decay_start", type=int, default=2500)
+    p.add_argument("--decay_end", type=int, default=6000)
     p.add_argument("--out", default="/tmp/qg512")
     args = p.parse_args(argv)
 
@@ -102,7 +108,18 @@ def main(argv=None):
     t0 = time.time()
     metrics = None
     for i in range(args.steps):
-        lr = jnp.float32(args.lr / 10.0 if i < args.warmup else args.lr)
+        if i < args.warmup:
+            frac = 0.1
+        elif i < 2 * args.warmup:
+            frac = 0.1 + 0.9 * (i - args.warmup) / args.warmup
+        elif i < args.decay_start:
+            frac = 1.0
+        elif i < args.decay_end:
+            t = (i - args.decay_start) / (args.decay_end - args.decay_start)
+            frac = 1.0 - 0.95 * t
+        else:
+            frac = 0.05
+        lr = jnp.float32(args.lr * frac)
         state, metrics = step(state, tbatch, lr)
         if i % 50 == 0:
             loss = float(metrics["loss"])
@@ -121,8 +138,13 @@ def main(argv=None):
     results = {"steps": args.steps, "final_loss": final_loss}
     for tag, int8 in (("bf16", False), ("int8", True)):
         pred = os.path.join(args.out, f"pred_{tag}")
+        # scored CSV layout: AP must rank low-score spurious boxes below
+        # the high-score true positives (the unscored reference layout
+        # makes AP row-order-dependent — measured: a model with accurate
+        # boxes plus one low-score corner ghost per image scores the
+        # SAME 0.6264 mAP at loss 0.68 and at loss 0.15)
         inference(img_dir, "png", path, pred, min_box_size=32,
-                  batch_size=N, use_int8=int8)
+                  batch_size=N, use_int8=int8, save_scores=True)
         r = evaluate_folders(pred, gt_dir, iou_threshold=0.5)
         results[f"mAP_{tag}"] = r["mAP"]
         print(f"{tag}: mAP@0.5 = {r['mAP']:.4f} "

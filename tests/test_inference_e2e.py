@@ -68,6 +68,37 @@ class TestInferenceCli:
         rows = bbox.load_boxes_to_xywhc(os.path.join(out_dir, "im0.csv"))
         assert rows.shape[1] == 5
 
+    def test_save_scores_layout(self, exported_model, tmp_path, rng):
+        """--save-scores writes the scored X,Y,W,H,P,C layout with the same
+        boxes as the unscored default, on BOTH the generic and the fused
+        int8 serving branches (rank-aware mAP evaluation needs P)."""
+        path, _ = exported_model
+        img_dir = str(tmp_path / "imgs_sc")
+        write_images(img_dir, rng, 2)
+        for int8 in (False, True):
+            out_plain = str(tmp_path / f"out_plain{int8}")
+            out_scored = str(tmp_path / f"out_scored{int8}")
+            inference(img_dir, "png", path, out_plain, min_box_size=4,
+                      batch_size=2, use_int8=int8)
+            inference(img_dir, "png", path, out_scored, min_box_size=4,
+                      batch_size=2, use_int8=int8, save_scores=True)
+            for fn in sorted(os.listdir(out_scored)):
+                with open(os.path.join(out_scored, fn)) as fh:
+                    assert fh.readline().strip() == "X,Y,W,H,P,C"
+                from yolov3_tpu.utils.evaluation import load_predictions
+                boxes, scores, classes = load_predictions(
+                    os.path.join(out_scored, fn))
+                plain = bbox.load_boxes_to_xywhc(os.path.join(out_plain, fn))
+                assert boxes.shape[0] == plain.shape[0]
+                if plain.shape[0]:
+                    # same geometry (ltrb from the same xywh ints)
+                    np.testing.assert_array_equal(
+                        boxes[:, 0], plain[:, 0].astype(np.float64))
+                    np.testing.assert_array_equal(
+                        boxes[:, 2] - boxes[:, 0] + 1,
+                        plain[:, 2].astype(np.float64))
+                    assert np.all(scores > 0.0) and np.all(scores <= 1.0)
+
     def test_host_and_device_nms_agree(self, exported_model, tmp_path, rng):
         path, _ = exported_model
         img_dir = str(tmp_path / "imgs2")

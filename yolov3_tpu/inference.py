@@ -138,8 +138,13 @@ def make_serving_fn(saved_model_filepath: str,
 
 def detections_to_csv_rows(det: np.ndarray, img_hw, min_box_size: int,
                            icfg: InferenceConfig, use_host_nms: bool,
-                           num_classes: int) -> np.ndarray:
-    """Post-process one image's raw detections to [M, 5] xywhc int rows."""
+                           num_classes: int, return_scores: bool = False):
+    """Post-process one image's raw detections to [M, 5] xywhc int rows.
+
+    `return_scores=True` additionally returns the [M] NMS scores (for the
+    scored X,Y,W,H,P,C CSV layout — the reference CLI discards scores,
+    reference/inference.py:79-87, which makes downstream AP evaluation
+    order-dependent; the scored layout is the rank-aware opt-in)."""
     det = np.array(det, dtype=np.float32)  # writable host copy
     # clip corners into the image (after conversion to numpy — the fix for
     # the reference's EagerTensor item-assignment bug)
@@ -161,12 +166,16 @@ def detections_to_csv_rows(det: np.ndarray, img_hw, min_box_size: int,
                                  max_boxes=icfg.max_boxes_per_class)
         boxes, scores, labels = nms_to_host(out[0][0], out[1][0], out[2][0])
     if boxes is None:
-        return np.zeros((0, 5), dtype=np.int32)
+        rows = np.zeros((0, 5), dtype=np.int32)
+        return (rows, np.zeros((0,), np.float32)) if return_scores else rows
     boxes = boxes.copy()
     boxes[:, 2] = boxes[:, 2] - boxes[:, 0]
     boxes[:, 3] = boxes[:, 3] - boxes[:, 1]
-    return np.concatenate([boxes, labels.reshape(-1, 1)],
+    rows = np.concatenate([boxes, labels.reshape(-1, 1)],
                           axis=-1).astype(np.int32)
+    if return_scores:
+        return rows, np.asarray(scores, np.float32).reshape(-1)
+    return rows
 
 
 def save_overlay(img: np.ndarray, rows: np.ndarray, out_path: str) -> None:
@@ -189,7 +198,8 @@ def inference(image_folder: str, image_format: str,
               overlay_folder: Optional[str] = None,
               icfg: Optional[InferenceConfig] = None,
               use_int8: bool = False,
-              calib_percentile=None) -> None:
+              calib_percentile=None,
+              save_scores: bool = False) -> None:
     os.makedirs(output_folder, exist_ok=True)
     icfg = icfg or InferenceConfig(min_box_size=min_box_size)
     image_format = image_format.lstrip(".")
@@ -229,17 +239,20 @@ def inference(image_folder: str, image_format: str,
                 batch = jnp.concatenate(
                     [batch, jnp.zeros((pad, *batch.shape[1:]), batch.dtype)])
             nb, ns, nk = (np.asarray(o) for o in serve(batch))
-            rows_per_image = []
+            rows_per_image, scores_per_image = [], []
             for i in range(len(chunk)):
-                boxes, _, labels = nms_to_host(nb[i], ns[i], nk[i])
+                boxes, scores, labels = nms_to_host(nb[i], ns[i], nk[i])
                 if boxes is None:
                     rows_per_image.append(np.zeros((0, 5), np.int32))
+                    scores_per_image.append(np.zeros((0,), np.float32))
                     continue
                 boxes = boxes.copy()
                 boxes[:, 2] -= boxes[:, 0]
                 boxes[:, 3] -= boxes[:, 1]
                 rows_per_image.append(np.concatenate(
                     [boxes, labels.reshape(-1, 1)], axis=-1).astype(np.int32))
+                scores_per_image.append(
+                    np.asarray(scores, np.float32).reshape(-1))
         else:
             if detect is None:  # int8 non-fused: calibrate on first batch
                 from yolov3_tpu.models.quantized import (
@@ -250,18 +263,32 @@ def inference(image_folder: str, image_format: str,
                 if num_devices > 1:
                     detect = shard_detector(detect, num_devices)
             dets = np.asarray(detect(batch))
-            rows_per_image = [
+            pairs = [
                 detections_to_csv_rows(det, img.shape[:2], min_box_size,
-                                       icfg, use_host_nms, cfg.number_classes)
+                                       icfg, use_host_nms, cfg.number_classes,
+                                       return_scores=True)
                 for det, img in zip(dets, images)]
+            rows_per_image = [p[0] for p in pairs]
+            scores_per_image = [p[1] for p in pairs]
 
-        for fp, rows, img in zip(chunk, rows_per_image, images):
+        for fp, rows, scores, img in zip(chunk, rows_per_image,
+                                         scores_per_image, images):
             file_name = os.path.basename(fp)
             print(f"{start}/{len(paths)} : {file_name}")
             print(f"Found: {rows.shape[0]} rois")
             out_csv = os.path.join(
                 output_folder, file_name.replace(image_format, "csv"))
-            bbox.write_boxes_from_xywhc(rows, out_csv)
+            if save_scores:
+                # scored X,Y,W,H,P,C layout (rank-aware evaluation);
+                # write_boxes_from_ltrbpc takes inclusive ltrb corners
+                ltrbpc = np.concatenate([
+                    rows[:, 0:1], rows[:, 1:2],
+                    rows[:, 0:1] + rows[:, 2:3] - 1,
+                    rows[:, 1:2] + rows[:, 3:4] - 1,
+                    scores.reshape(-1, 1), rows[:, 4:5]], axis=-1)
+                bbox.write_boxes_from_ltrbpc(ltrbpc, out_csv)
+            else:
+                bbox.write_boxes_from_xywhc(rows, out_csv)
             if overlay_folder:
                 os.makedirs(overlay_folder, exist_ok=True)
                 save_overlay(img, rows, os.path.join(
@@ -288,6 +315,10 @@ def main(argv=None) -> None:
                         help="per-class candidate cap for the device NMS")
     parser.add_argument("--save-overlays", type=str, default=None,
                         help="also write detection-overlay PNGs to this folder")
+    parser.add_argument("--save-scores", action="store_true",
+                        help="write the scored X,Y,W,H,P,C CSV layout "
+                             "instead of the reference's unscored X,Y,W,H,C "
+                             "(rank-aware mAP evaluation needs scores)")
     parser.add_argument("--host_nms", action="store_true",
                         help="run NMS on the host (numpy) instead of on device")
     parser.add_argument("--calib-percentile", type=float, default=None,
@@ -313,7 +344,8 @@ def main(argv=None) -> None:
               overlay_folder=args.save_overlays,
               icfg=InferenceConfig(min_box_size=args.min_box_size,
                                    max_boxes_per_class=args.max_boxes),
-              use_int8=args.int8, calib_percentile=args.calib_percentile)
+              use_int8=args.int8, calib_percentile=args.calib_percentile,
+              save_scores=args.save_scores)
 
 
 if __name__ == "__main__":
