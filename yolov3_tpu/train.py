@@ -390,6 +390,10 @@ def main(argv=None) -> None:
                         help="Folder where outputs will be saved (Required)")
     parser.add_argument("--early_stopping", type=int, default=10,
                         help="stop when test loss has not improved for N epochs")
+    parser.add_argument("--max_epochs", type=int, default=None,
+                        help="hard cap on training epochs (the reference runs "
+                             "until early stopping alone; a bound is useful "
+                             "for smoke runs and scheduled jobs)")
     parser.add_argument("--use_augmentation", type=int, default=1,
                         help="whether to use data augmentation [0=false, 1=true]")
     parser.add_argument("--anchors", type=str,
@@ -453,6 +457,7 @@ def main(argv=None) -> None:
                 shm_feed=bool(args.shm_feed),
                 resume=args.resume,
                 shard_optimizer=bool(args.shard_optimizer),
+                max_epochs=args.max_epochs,
                 model_overrides=(dict(
                     int8_train=True,
                     **({"int8_train_static": True} if args.int8_static
