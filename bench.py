@@ -150,6 +150,15 @@ def main() -> None:
     emit(f"inference_int8_images_per_sec_512x512_b{batch}",
          batch / dt, "images/sec/chip")
 
+    # time the b64 headline HERE — before the serving programs below
+    # allocate their NMS buffers and push HBM pressure up (measured:
+    # the same program times ~1.5% slower at the end of this script
+    # than in a standalone run) — but emit it LAST (driver contract:
+    # headline is the final JSON line)
+    x64 = jnp.asarray(rng.randn(64, 512, 512, 3).astype(np.float32))
+    dt = time_fn(detect_int8, x64, 30, lambda o: o[0, 0, :2])
+    headline = 64 / dt
+
     # on-TPU decode-fidelity gate at the bench shape: the int8 champion
     # graph must track the bf16 path's boxes BEFORE any number is
     # reported — a kernel regression cannot silently ship a fast wrong
@@ -178,7 +187,6 @@ def main() -> None:
                                   iou_threshold=0.3, score_threshold=0.1,
                                   max_boxes=512, min_box_size=32.0)
 
-    x64 = jnp.asarray(rng.randn(64, 512, 512, 3).astype(np.float32))
     dt = time_fn(serve_int8, x64, 20, lambda o: o[0][0, 0, 0, :2])
     emit("serving_int8_images_per_sec_512x512_b64_incl_nms",
          64 / dt, "images/sec/chip")
@@ -253,9 +261,8 @@ def main() -> None:
     emit("serving_int8_from_uint8_images_per_sec_512x512_b64",
          64 / dt, "images/sec/chip")
 
-    dt = time_fn(detect_int8, x64, 20, lambda o: o[0, 0, :2])
     emit("inference_int8_images_per_sec_512x512_b64",
-         64 / dt, "images/sec/chip")
+         headline, "images/sec/chip")
 
 
 if __name__ == "__main__":
