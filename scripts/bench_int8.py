@@ -258,6 +258,10 @@ def main(argv=None):
                        ("Darknet53_0/ConvBlock_0",), region_full=True,
                        region_fast=True, rep_requant=True,
                        rep_requant_final=True),
+                   "int8_reprq_pipe": make_int8(
+                       ("Darknet53_0/ConvBlock_0",), region_full=True,
+                       region_fast=True, rep_requant=True,
+                       region_pipe=True),
                    "int8_reprq_rawin": make_int8(
                        ("Darknet53_0/ConvBlock_0",), region_full=True,
                        region_fast=True, rep_requant=True,
